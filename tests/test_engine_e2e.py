@@ -1,0 +1,184 @@
+"""End-to-end engine tests: synthetic WAL -> apply -> lake == oracle.
+
+This is the conformance gate of BASELINE.json: per-row token-array
+equality against the single-process replay oracle, plus the invariant
+families adopted from the reference's validate_outputs.py (key
+uniqueness, parts-sum-to-whole, recomputed derived columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from lakecdc import compact as compaction
+from lakecdc import lineage, manifest, oracle, synth
+from lakecdc.apply import apply_all, apply_epoch
+from lakecdc.config import EngineConfig
+from lakecdc.lake import read_lake, read_lake_local
+
+
+def make_cfg(tmp_root, **kw) -> EngineConfig:
+    cfg = EngineConfig(root=tmp_root, num_buckets=kw.pop("num_buckets", 8), **kw)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def gen(cfg, n_docs=60, n_epochs=3, events_per_epoch=400, **kw):
+    synth.write_wal(
+        cfg.wal_dir,
+        n_docs=n_docs,
+        n_epochs=n_epochs,
+        events_per_epoch=events_per_epoch,
+        seed=cfg.seed,
+        **kw,
+    )
+
+
+def test_apply_matches_oracle(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg, evolution_epoch=None)
+    apply_all(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_apply_matches_oracle_with_evolution(tmp_root):
+    """Epochs 0-1 are WAL v0 (no `source`); epochs 2+ carry it. Old
+    rows must read back with source == null."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_docs=400, events_per_epoch=200, n_epochs=4, evolution_epoch=3)
+    apply_all(cfg)
+    lake = read_lake_local(cfg)
+    ora = oracle.replay(cfg.wal_dir)
+    oracle.assert_lake_equals_oracle(lake, ora)
+    # evolution really happened: both null and non-null sources present
+    assert lake["source"].isna().any() and lake["source"].notna().any()
+
+
+def test_pk_uniqueness_and_ntok_invariant(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    lake = read_lake_local(cfg)
+    assert lake["doc_id"].is_unique  # D6 analogue: PK uniqueness
+    assert (lake["tokens"].map(len) == lake["n_tok"]).all()  # F8 analogue
+
+
+def test_reapply_is_idempotent(tmp_root):
+    """Replaying every epoch after completion is a pure no-op: same
+    rows, same manifest, byte-identical lake files."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    files = sorted(
+        f for rec in manifest.snapshot(cfg).values() for f in rec["files"]
+    )
+    before = {f: open(f, "rb").read() for f in files}
+    lg2 = apply_all(cfg)  # replay everything
+    assert (pc.sum(lg2["rows_invalid"]).as_py() or 0) >= 0
+    after = {f: open(f, "rb").read() for f in files}
+    assert before == after
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_crash_resume_converges(tmp_root):
+    """Simulate a mid-epoch crash: epoch 1 commits only a subset of
+    partitions (partial manifest), then a full re-run resumes — final
+    state identical to a clean run."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 0)
+    apply_epoch(cfg, 1)
+    # "crash": delete a subset of epoch-1 commits (as if those partition
+    # merges never committed); their data files may or may not exist —
+    # both cases must be safe.
+    victims = sorted(manifest.committed_partitions(cfg, 1))[:3]
+    for b in victims:
+        os.remove(os.path.join(cfg.manifest_dir, "epoch=000000001", f"part-{b:05d}.json"))
+    # resume: re-run the epoch (committed partitions no-op)
+    apply_epoch(cfg, 1)
+    apply_epoch(cfg, 2)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_invalid_events_counted_not_silent(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2, p_invalid=0.1)
+    lg = apply_all(cfg)
+    n_invalid = pc.sum(lg["rows_invalid"]).as_py()
+    assert n_invalid > 0  # drops are counted into lineage, never silent
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_lineage_accounting_identities(tmp_root):
+    """Parts sum to whole (the `final + no_support = all` analogue):
+    live rows recorded per partition sum to the lake's row count, and
+    every applied LSN lies within its epoch's recorded range."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    lake = read_lake_local(cfg)
+    assert lineage.live_row_total(cfg) == len(lake)
+    roll = lineage.rollup(cfg).to_pylist()
+    assert len(roll) > 0
+    for row in roll:
+        assert row["lsn_lo"] <= row["lsn_hi"]
+        assert row["bytes_written"] > 0
+    path = lineage.write_rollup(cfg)
+    assert os.path.exists(path)
+
+
+def test_tombstone_compaction_and_vacuum(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    want = oracle.replay(cfg.wal_dir)
+    import pyarrow.parquet as pq
+    from lakecdc.lake import lake_files
+
+    had_tombstones = any(
+        pq.read_table(f, columns=["_deleted"])["_deleted"].to_pandas().any()
+        for f in lake_files(cfg)
+    )
+    assert had_tombstones  # synth's 5% deletes leave tombstones
+    compaction.compact(cfg)
+    for f in lake_files(cfg):
+        assert not pq.read_table(f, columns=["_deleted"])["_deleted"].to_pandas().any()
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), want)
+    deleted = compaction.vacuum(cfg)
+    assert deleted  # old epoch files physically removed
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), want)
+
+
+def test_read_lake_dataset_streaming(tmp_root):
+    """The production read path (Ray Dataset) agrees with the local
+    one."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2)
+    apply_all(cfg)
+    ds = read_lake(cfg)
+    df = (
+        ds.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle.assert_lake_equals_oracle(df, oracle.replay(cfg.wal_dir))
+
+
+def test_time_travel(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3)
+    apply_all(cfg)
+    as_of_1 = read_lake_local(cfg, up_to_epoch=1)
+    oracle.assert_lake_equals_oracle(as_of_1, oracle.replay(cfg.wal_dir, max_epoch=1))
+
+
+def test_hot_key_skew_zipf(tmp_root):
+    """Heavy Zipf skew (a=1.05 -> one dominant key) still matches the
+    oracle; the batch-local combiner bounds the hot key's shuffle rows."""
+    cfg = make_cfg(tmp_root, num_buckets=4)
+    gen(cfg, n_docs=20, events_per_epoch=2000, n_epochs=2, zipf_a=1.05)
+    apply_all(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
