@@ -1,0 +1,676 @@
+"""Relational operator library — one named pipeline per reference
+operator family from SURVEY.md §2, expressed Ray-Data-first over the
+driver's testdata tables, each with a DuckDB oracle (registry.py).
+
+Column-name contract: every computed column is named identically here
+and in the oracle SQL (driver compares sorted-by-name value hashes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from lakecdc.qutil import cents, e6, read, read_small
+
+
+# ---------------------------------------------------------------------------
+# Filters / maps / projections
+# ---------------------------------------------------------------------------
+
+def filter_project(sf_dir: str) -> rd.Dataset:
+    """F1/F4 predicate routing + F7 projection.
+
+    Reference: office filter `CAND_OFFICE.isin(office_filter)`
+    (scripts/superpac_ie_support.py:60) and transaction-type predicates
+    (superpac_ie_support.py:82); projection merge_support.py:178-180.
+    """
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["l_returnflag"], value_set=pa.array(["A", "R"])),
+            pc.greater(t["l_quantity"], 25.0),
+        )
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_extract_filter(sf_dir: str) -> pd.DataFrame:
+    """F2 regex parse + F5 numeric-coerce-and-threshold.
+
+    Reference: year normalizer `str.extract(r"(\\d{4})")`
+    (scripts/superpac_ie_support.py:63, merge_support.py:38-47) and the
+    amount positivity gate (superpac_ie_support.py:96-102).
+    """
+    ds = read(sf_dir, "events", ["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r"(?P<k>\d+)")
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = t.append_column("k_val", k)
+        return t.filter(pc.greater(pc.fill_null(k, -1), 50))
+
+    ds = ds.map_batches(f, batch_format="pyarrow")
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n"), Sum("k_val", alias_name="k_sum"))
+    df = out.to_pandas()
+    df["k_sum"] = df["k_sum"].astype("int64")
+    return df[["event_type", "n", "k_sum"]]
+
+
+def derived_flag_split(sf_dir: str) -> pd.DataFrame:
+    """F8 derived columns + F9 flag split, on the merged-support shape.
+
+    Reference: `TOTAL_SUPPORT = Σ support cols`, `HAS_MONEY =
+    (TOTAL_SUPPORT > 0).astype(int)` (scripts/merge_support.py:276-277)
+    and the HAS_MONEY==1 / ==0 split (merge_support.py:308-317).
+    Here: per-customer order totals with a zero-total universe kept.
+    """
+    df = multiway_left_join(sf_dir)
+    out = df.groupby("has_money", as_index=False).agg(
+        n_candidates=("c_custkey", "count"),
+        total_support_cents=("total_support_cents", "sum"),
+    )
+    out["total_support_cents"] = out["total_support_cents"].astype("int64")
+    return out[["has_money", "n_candidates", "total_support_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def grouped_sum(sf_dir: str) -> pd.DataFrame:
+    """A1 two-phase grouped sum (the pricing-summary / support-sum).
+
+    Reference: per-chunk `groupby(CAND_ID).sum()` + cross-chunk dict
+    accumulate (scripts/superpac_ie_support.py:104-106). Here the
+    partial phase runs inside map_batches (one row per key per batch)
+    and the final phase is a small shuffle over partials.
+    """
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        price_c = cents(t["l_extendedprice"])
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        rev_c = cents(rev)
+        g = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "sum_qty": qty,
+                "sum_price_cents": price_c,
+                "sum_rev_cents": rev_c,
+                "n_rows": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        ).group_by("l_returnflag").aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_price_cents", "sum"),
+                ("sum_rev_cents", "sum"),
+                ("n_rows", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "sum_qty", "sum_price_cents", "sum_rev_cents", "n_rows"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("l_returnflag").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_rev_cents", alias_name="sum_rev_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    df = out.to_pandas()
+    for c in ["sum_qty", "sum_price_cents", "sum_rev_cents", "n_rows"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def conditional_two_sum(sf_dir: str) -> pd.DataFrame:
+    """A2: one stream, two simultaneous conditional grouped sums.
+
+    Reference: corp vs nonconnected accumulators over the same txn
+    stream (scripts/pac_support_corp_union.py:116-127).
+    """
+    ds = read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = cents(t["value"])
+        is_p = pc.equal(t["event_type"], "purchase")
+        is_c = pc.equal(t["event_type"], "click")
+        z = pa.scalar(0, type=pa.int64())
+        tbl = pa.table(
+            {
+                "user_id": t["user_id"],
+                "purchase_cents": pc.if_else(is_p, v, z),
+                "click_cents": pc.if_else(is_c, v, z),
+            }
+        )
+        g = tbl.group_by("user_id").aggregate(
+            [("purchase_cents", "sum"), ("click_cents", "sum")]
+        )
+        return g.rename_columns(["user_id", "purchase_cents", "click_cents"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("user_id").aggregate(
+        Sum("purchase_cents", alias_name="purchase_cents"),
+        Sum("click_cents", alias_name="click_cents"),
+    )
+    df = out.to_pandas()
+    for c in ["purchase_cents", "click_cents"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def collapse_dedup_sum(sf_dir: str) -> pd.DataFrame:
+    """A3 key-collapse ("no money lost"): force one row per key by
+    summing before any join. Reference: `_collapse_support`
+    (scripts/merge_support.py:49-84)."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return t.append_column("total_cents", cents(t["o_totalprice"])).drop_columns(
+            ["o_totalprice"]
+        )
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_custkey", "o_orderstatus"])
+        .aggregate(Sum("total_cents", alias_name="sum_total_cents"), Count(alias_name="n_orders"))
+    )
+    df = out.to_pandas()
+    df["sum_total_cents"] = df["sum_total_cents"].astype("int64")
+    return df
+
+
+def grouped_nunique(sf_dir: str) -> pd.DataFrame:
+    """A4 grouped distinct-count. Reference: multi-year diagnostic
+    `groupby(CAND_ID).CAND_ELECTION_YR.nunique()`
+    (scripts/merge_support.py:138-146)."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "n_priorities": [g["o_orderpriority"].nunique()],
+            }
+        )
+
+    out = ds.groupby("o_custkey").map_groups(per_group, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_priorities"] = df["n_priorities"].astype("int64")
+    return df
+
+
+def global_stats(sf_dir: str) -> pd.DataFrame:
+    """A5 global scalar aggregates. Reference: summary stats over
+    support columns (scripts/merge_support.py:297-301)."""
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"price_cents": cents(t["l_extendedprice"])})
+
+    c = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    agg = c.aggregate(
+        Sum("price_cents", alias_name="sum_cents"),
+        Max("price_cents", alias_name="max_cents"),
+        Count(alias_name="n"),
+    )
+    n = int(agg["n"])
+    total = int(agg["sum_cents"])
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "sum_cents": [total],
+            "max_cents": [int(agg["max_cents"])],
+            "mean_cents": [total // n],
+        }
+    )
+
+
+def value_counts(sf_dir: str) -> pd.DataFrame:
+    """A6 value_counts. Reference: per-office row breakdown
+    (scripts/combine_csv.py:80-82)."""
+    out = read(sf_dir, "events", ["event_type"]).groupby("event_type").aggregate(
+        Count(alias_name="n")
+    )
+    return out.to_pandas()
+
+
+def dup_key_census(sf_dir: str) -> pd.DataFrame:
+    """A7 duplicate-group census. Reference: dup reporting before
+    collapse (scripts/merge_support.py:68-78,165-176)."""
+    counts = read(sf_dir, "lineitem", ["l_orderkey"]).groupby("l_orderkey").aggregate(
+        Count(alias_name="n")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater(t["n"], 1), pa.int64())
+        return pa.table(
+            {
+                "n_dup_keys": [pc.sum(dup).as_py() or 0],
+                "n_keys": [t.num_rows],
+                "max_group": [pc.max(t["n"]).as_py() or 0],
+            }
+        )
+
+    parts = counts.map_batches(partial, batch_format="pyarrow")
+    df = parts.to_pandas()
+    return pd.DataFrame(
+        {
+            "n_dup_keys": [int(df["n_dup_keys"].sum())],
+            "n_keys": [int(df["n_keys"].sum())],
+            "max_group": [int(df["max_group"].max())],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def broadcast_semi_join(sf_dir: str) -> pd.DataFrame:
+    """J1/J2 broadcast semi-join: filter the fact stream by a small key
+    set. Reference: Super-PAC set probe
+    (scripts/superpac_ie_support.py:53,87)."""
+    sup = read_small(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    good = set(
+        sup.filter(pc.greater(sup["s_acctbal"], 0.0))["s_suppkey"].to_pylist()
+    )
+    ds = read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_suppkey"], value_set=pa.array(sorted(good), type=pa.int64()))
+        t = t.filter(keep)
+        return pa.table(
+            {"l_suppkey": t["l_suppkey"], "price_cents": cents(t["l_extendedprice"])}
+        )
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("price_cents", alias_name="sum_price_cents"), Count(alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["sum_price_cents"] = df["sum_price_cents"].astype("int64")
+    return df
+
+
+def broadcast_hash_join(sf_dir: str) -> pd.DataFrame:
+    """J3 broadcast hash join (inner; unmapped rows dropped).
+
+    Reference: CMTE_ID -> CAND_ID translate-then-drop
+    (scripts/individual_support.py:99-100). The small side is a
+    driver-built dict applied vectorized per batch — no shuffle.
+    """
+    part = read_small(sf_dir, "part", ["p_partkey", "p_brand"])
+    keys = part["p_partkey"].to_numpy()
+    import numpy as np
+
+    lut = dict(zip(keys.tolist(), part["p_brand"].to_pylist()))
+    brands = sorted(set(lut.values()))
+    brand_idx = {b: i for i, b in enumerate(brands)}
+    key_to_idx = np.full(int(keys.max()) + 1, -1, dtype=np.int32)
+    for k, b in lut.items():
+        key_to_idx[k] = brand_idx[b]
+    brand_arr = pa.array(brands)
+
+    ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def f(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        idx = np.where(pk < len(key_to_idx), key_to_idx[np.clip(pk, 0, len(key_to_idx) - 1)], -1)
+        keep = idx >= 0
+        return pa.table(
+            {
+                "p_brand": pc.take(brand_arr, pa.array(idx[keep], type=pa.int32())),
+                "qty": pc.cast(pa.array(t["l_quantity"].combine_chunks().to_numpy()[keep]), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    return df
+
+
+def broadcast_left_join_attrs(sf_dir: str) -> pd.DataFrame:
+    """J5 left-join dimension attributes onto aggregated facts.
+
+    Reference: support totals ⟕ candidate attribute index
+    (scripts/superpac_ie_support.py:112-115).
+    """
+    agg = collapse_dedup_sum(sf_dir)
+    totals = (
+        agg.groupby("o_custkey", as_index=False)
+        .agg(sum_total_cents=("sum_total_cents", "sum"), n_orders=("n_orders", "sum"))
+    )
+    cust = read_small(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
+    ).to_pandas()
+    df = totals.merge(
+        cust, left_on="o_custkey", right_on="c_custkey", how="left"
+    ).drop(columns=["c_custkey"])
+    df["sum_total_cents"] = df["sum_total_cents"].astype("int64")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df[["o_custkey", "sum_total_cents", "n_orders", "c_name", "c_mktsegment"]]
+
+
+def multiway_left_join(sf_dir: str) -> pd.DataFrame:
+    """J6 the merge-support pipeline: authoritative key universe ⟕
+    multiple support aggregates, fillna(0), derived total + flag.
+
+    Reference: universe ⟕ indiv ⟕ pac ⟕ superpac on candidate key,
+    fillna(0), TOTAL_SUPPORT, HAS_MONEY
+    (scripts/merge_support.py:244-277). The universe (customer) keeps
+    zero-support members — the `no_support` rows.
+    """
+    orders_tot = (
+        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {"key": t["o_custkey"], "order_cents": cents(t["o_totalprice"])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("key")
+        .aggregate(Sum("order_cents", alias_name="order_cents"))
+        .to_pandas()
+    )
+    ev_tot = (
+        read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["user_id"],
+                    "purchase_cents": pc.if_else(
+                        pc.equal(t["event_type"], "purchase"),
+                        cents(t["value"]),
+                        pa.scalar(0, type=pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("key")
+        .aggregate(Sum("purchase_cents", alias_name="purchase_cents"))
+        .to_pandas()
+    )
+    universe = read_small(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
+    ).to_pandas()
+    df = universe.merge(
+        orders_tot, left_on="c_custkey", right_on="key", how="left"
+    ).drop(columns=["key"])
+    df = df.merge(ev_tot, left_on="c_custkey", right_on="key", how="left").drop(
+        columns=["key"]
+    )
+    for c in ["order_cents", "purchase_cents"]:
+        df[c] = df[c].fillna(0).astype("int64")
+    df["total_support_cents"] = df["order_cents"] + df["purchase_cents"]
+    df["has_money"] = (df["total_support_cents"] > 0).astype("int64")
+    return df[
+        [
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "order_cents",
+            "purchase_cents",
+            "total_support_cents",
+            "has_money",
+        ]
+    ]
+
+
+def anti_join(sf_dir: str) -> pd.DataFrame:
+    """J7 anti-join: universe members with no fact rows.
+
+    Reference: missing/extra ID set-difference checks
+    (scripts/validate_outputs.py:349-365).
+    """
+    have = set(read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    t = cust.filter(
+        pc.invert(
+            pc.is_in(
+                cust["c_custkey"], value_set=pa.array(sorted(have), type=pa.int64())
+            )
+        )
+    )
+    return t.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / dedup / union
+# ---------------------------------------------------------------------------
+
+def topk(sf_dir: str) -> pd.DataFrame:
+    """O1/O4 global sort-desc + limit. Reference: `nlargest(...,
+    'TOTAL_SUPPORT')` (scripts/validate_outputs.py:456-461) and the
+    sorted outputs (superpac_ie_support.py:115)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    import numpy as np
+
+    # Deterministic tie-break (totalprice desc, orderkey asc) so the
+    # top-10 SET matches the oracle even on equal prices.
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    df["total_cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+    return df[["o_orderkey", "o_custkey", "total_cents"]]
+
+
+def topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """O2/O3 per-group priority ranking: top-3 customers by account
+    balance per market segment. Reference: multi-key mixed-direction
+    sort (scripts/merge_support.py:306) + priority-dedup ordering
+    (merge_support.py:155-162)."""
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(3)
+        return g
+
+    import numpy as np
+
+    out = ds.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+    df = out.to_pandas()
+    df["acctbal_cents"] = np.floor(df["c_acctbal"] * 100 + 0.5).astype("int64")
+    return df[["c_mktsegment", "c_custkey", "c_name", "acctbal_cents"]]
+
+
+def priority_dedup(sf_dir: str) -> pd.DataFrame:
+    """D1 keep-best-record-per-key: for each customer keep the single
+    'best' order (highest totalprice, ties -> lowest orderkey).
+
+    Reference: sort by explicit preference then first-per-key
+    (scripts/merge_support.py:150-180; individual_support.py:17-27).
+    This is LWW-by-LSN generalized — the same kernel family as
+    lakecdc.merge.last_per_key.
+    """
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return g.head(1)
+
+    import numpy as np
+
+    out = ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+    df = out.to_pandas()
+    df["best_total_cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+    return df[["o_custkey", "o_orderkey", "best_total_cents"]]
+
+
+def exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """D2 exact full-content dedup, hash-partitioned: keep the min
+    doc_id per identical text. Reference: `drop_duplicates()` on the
+    multi-cycle union (scripts/combine_csv.py:69,128).
+
+    Ray-Data shape: content-hash in map_batches (vectorized) ->
+    groupby(hash) -> first-per-group. The hash, not the full text, is
+    the shuffle key at scale.
+    """
+    import hashlib
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return t.append_column("text_md5", pa.array(h))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(first, batch_format="pandas")
+    )
+    return out.to_pandas()[["doc_id", "text", "lang", "text_md5"]]
+
+
+def union_distinct_keys(sf_dir: str) -> pd.DataFrame:
+    """D3/D4 union + distinct-key universe. Reference: concat across
+    cycles (scripts/combine_csv.py:66) and the corp∪nonconn key union
+    (pac_support_corp_union.py:135)."""
+    a = read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    b = read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"key": pc.cast(t["user_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    u = a.union(b).groupby("key").aggregate(Count(alias_name="n_refs"))
+    df = u.to_pandas()
+    df["n_refs"] = df["n_refs"].astype("int64")
+    return df
+
+
+def union_provenance(sf_dir: str) -> pd.DataFrame:
+    """S6/F10 multi-source union with provenance columns.
+
+    Reference: combine_csvs tagging source_file/office_type then
+    concat (scripts/combine_csv.py:55-66,120-123).
+    """
+    def tag(name):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(t.column(0), pa.int64()),
+                    "amount_cents": cents(t.column(1)),
+                    "source_table": pa.array([name] * t.num_rows),
+                }
+            )
+
+        return f
+
+    a = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        tag("orders"), batch_format="pyarrow"
+    )
+    b = read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        tag("events"), batch_format="pyarrow"
+    )
+    out = (
+        a.union(b)
+        .groupby(["source_table"])
+        .aggregate(Sum("amount_cents", alias_name="sum_cents"), Count(alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["sum_cents"] = df["sum_cents"].astype("int64")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# CDC semantics over the events stream (SQL-checkable LWW)
+# ---------------------------------------------------------------------------
+
+def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
+    """The engine's LWW-by-LSN merge rule run over the `events` table
+    read as a WAL: event_id = LSN, user_id = key, event_type='error' =
+    tombstone, everything else = upsert. Final state = last writer per
+    key, tombstoned keys dropped.
+
+    Uses the very same kernel as the lake merge
+    (lakecdc.merge.last_per_key) inside per-key-group tasks.
+    Reference: keep-best dedup generalized (merge_support.py:150-180).
+    """
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def lww(g: pa.Table) -> pa.Table:
+        from lakecdc.merge import last_per_key
+
+        last = last_per_key(g, key="user_id", order="event_id")
+        live = last.filter(pc.not_equal(last["event_type"], "error"))
+        return pa.table(
+            {
+                "user_id": live["user_id"],
+                "last_event_id": live["event_id"],
+                "last_event_type": live["event_type"],
+                "last_value_cents": cents(live["value"]),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(lww, batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def cdc_changelog_stats(sf_dir: str) -> pd.DataFrame:
+    """Lineage-style per-key changelog accounting: events applied,
+    deletes seen, LSN watermark per key. Reference: the per-partition
+    lineage rows (SURVEY §1.4); validate_outputs-style accounting."""
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.equal(t["event_type"], "error"), pa.int64())
+        tbl = pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pa.array([1] * t.num_rows, type=pa.int64()),
+                "n_deletes": d,
+                "lsn_watermark": t["event_id"],
+            }
+        )
+        g = tbl.group_by("user_id").aggregate(
+            [("n_events", "sum"), ("n_deletes", "sum"), ("lsn_watermark", "max")]
+        )
+        return g.rename_columns(["user_id", "n_events", "n_deletes", "lsn_watermark"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_deletes", alias_name="n_deletes"),
+            Max("lsn_watermark", alias_name="lsn_watermark"),
+        )
+    )
+    df = out.to_pandas()
+    for c in ["n_events", "n_deletes", "lsn_watermark"]:
+        df[c] = df[c].astype("int64")
+    return df

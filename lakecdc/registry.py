@@ -1,0 +1,271 @@
+"""Query registry: name -> (Ray callable, DuckDB oracle SQL | None).
+
+Backs ``__ray_entry__.queries()`` / ``oracle_sql()``. Every computed
+column is named identically in the Ray result and the SQL (the driver
+hashes values after sorting columns by name). All derived numerics are
+exact integers (see lakecdc.qutil float policy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from lakecdc import ann, dedup, multimodal, queries as q, text
+from lakecdc.flagship import run_flagship
+
+_C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
+
+
+def _c(x: str) -> str:
+    return _C.format(x=x)
+
+
+QUERIES: dict[str, Callable] = {
+    # --- filters / maps (SURVEY §2.2) ---
+    "filter_project": q.filter_project,
+    "regex_extract_filter": q.regex_extract_filter,
+    "derived_flag_split": q.derived_flag_split,
+    # --- aggregations (§2.5) ---
+    "grouped_sum": q.grouped_sum,
+    "conditional_two_sum": q.conditional_two_sum,
+    "collapse_dedup_sum": q.collapse_dedup_sum,
+    "grouped_nunique": q.grouped_nunique,
+    "global_stats": q.global_stats,
+    "value_counts": q.value_counts,
+    "dup_key_census": q.dup_key_census,
+    # --- joins (§2.4) ---
+    "broadcast_semi_join": q.broadcast_semi_join,
+    "broadcast_hash_join": q.broadcast_hash_join,
+    "broadcast_left_join_attrs": q.broadcast_left_join_attrs,
+    "multiway_left_join": q.multiway_left_join,
+    "anti_join": q.anti_join,
+    # --- sort / topk / dedup / union (§2.6-2.7) ---
+    "topk": q.topk,
+    "topk_per_group": q.topk_per_group,
+    "priority_dedup": q.priority_dedup,
+    "exact_dedup": q.exact_dedup,
+    "union_distinct_keys": q.union_distinct_keys,
+    "union_provenance": q.union_provenance,
+    # --- CDC semantics over the events stream ---
+    "cdc_lww_state": q.cdc_lww_state,
+    "cdc_changelog_stats": q.cdc_changelog_stats,
+    # --- text analysis ---
+    "token_count": text.token_count,
+    "quality_score": text.quality_score,
+    "lang_id": text.lang_id,  # heuristic: rows-only
+    "fingerprint_census": text.fingerprint_census,
+    # --- dedup family ---
+    "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
+    "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.9),
+    "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
+    "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.38),
+    # --- similarity search ---
+    "ann_topk": ann.ann_topk,
+    "ann_ivf": ann.ann_ivf,  # approximate: rows-only
+    # --- multimodal plumbing ---
+    "media_features": multimodal.media_features,  # stub decode: rows-only
+    # --- the engine itself ---
+    "cdc_apply_tokens": run_flagship,  # oracle is pytest replay, rows-only here
+}
+
+
+ORACLES: dict[str, str] = {
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25
+    """,
+    "regex_extract_filter": """
+        SELECT event_type, COUNT(*) AS n, SUM(k_val) AS k_sum FROM (
+            SELECT event_type,
+                   CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k_val
+            FROM events)
+        WHERE k_val > 50 GROUP BY event_type
+    """,
+    "derived_flag_split": f"""
+        WITH ord AS (SELECT o_custkey AS key, SUM({_c('o_totalprice')}) AS order_cents
+                     FROM orders GROUP BY 1),
+             ev  AS (SELECT user_id AS key,
+                            SUM(CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END) AS purchase_cents
+                     FROM events GROUP BY 1),
+             m   AS (SELECT c_custkey,
+                            COALESCE(o.order_cents,0)+COALESCE(e.purchase_cents,0) AS total
+                     FROM customer c LEFT JOIN ord o ON c.c_custkey=o.key
+                                     LEFT JOIN ev e ON c.c_custkey=e.key)
+        SELECT CAST(CASE WHEN total>0 THEN 1 ELSE 0 END AS BIGINT) AS has_money,
+               COUNT(*) AS n_candidates, SUM(total) AS total_support_cents
+        FROM m GROUP BY 1
+    """,
+    "grouped_sum": f"""
+        SELECT l_returnflag,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM({_c('l_extendedprice')}) AS sum_price_cents,
+               SUM({_c('l_extendedprice * (1 - l_discount)')}) AS sum_rev_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "conditional_two_sum": f"""
+        SELECT user_id,
+               SUM(CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END) AS purchase_cents,
+               SUM(CASE WHEN event_type='click' THEN {_c('value')} ELSE 0 END) AS click_cents
+        FROM events GROUP BY user_id
+    """,
+    "collapse_dedup_sum": f"""
+        SELECT o_custkey, o_orderstatus,
+               SUM({_c('o_totalprice')}) AS sum_total_cents, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
+    "grouped_nunique": """
+        SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        FROM orders GROUP BY 1
+    """,
+    "global_stats": f"""
+        WITH c AS (SELECT {_c('l_extendedprice')} AS pc FROM lineitem)
+        SELECT COUNT(*) AS n, SUM(pc) AS sum_cents, MAX(pc) AS max_cents,
+               SUM(pc) // COUNT(*) AS mean_cents
+        FROM c
+    """,
+    "value_counts": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+    "dup_key_census": """
+        WITH g AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        SELECT CAST(SUM(CASE WHEN n>1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+               COUNT(*) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_group
+        FROM g
+    """,
+    "broadcast_semi_join": f"""
+        SELECT l_suppkey, SUM({_c('l_extendedprice')}) AS sum_price_cents, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        GROUP BY 1
+    """,
+    "broadcast_hash_join": """
+        SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+    """,
+    "broadcast_left_join_attrs": f"""
+        SELECT o_custkey, SUM({_c('o_totalprice')}) AS sum_total_cents,
+               COUNT(*) AS n_orders, c_name, c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey, c_name, c_mktsegment
+    """,
+    "multiway_left_join": f"""
+        WITH ord AS (SELECT o_custkey AS key, SUM({_c('o_totalprice')}) AS order_cents
+                     FROM orders GROUP BY 1),
+             ev  AS (SELECT user_id AS key,
+                            SUM(CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END) AS purchase_cents
+                     FROM events GROUP BY 1)
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               COALESCE(o.order_cents, 0) AS order_cents,
+               COALESCE(e.purchase_cents, 0) AS purchase_cents,
+               COALESCE(o.order_cents, 0) + COALESCE(e.purchase_cents, 0) AS total_support_cents,
+               CAST(CASE WHEN COALESCE(o.order_cents,0)+COALESCE(e.purchase_cents,0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_money
+        FROM customer c LEFT JOIN ord o ON c.c_custkey = o.key
+                        LEFT JOIN ev e ON c.c_custkey = e.key
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "topk": f"""
+        SELECT o_orderkey, o_custkey, {_c('o_totalprice')} AS total_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "topk_per_group": f"""
+        SELECT c_mktsegment, c_custkey, c_name, {_c('c_acctbal')} AS acctbal_cents
+        FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) <= 3
+    """,
+    "priority_dedup": f"""
+        SELECT o_custkey, o_orderkey, {_c('o_totalprice')} AS best_total_cents
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+    """,
+    "exact_dedup": """
+        SELECT doc_id, text, lang, md5(text) AS text_md5 FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    "union_distinct_keys": """
+        SELECT key, COUNT(*) AS n_refs FROM (
+            SELECT CAST(o_custkey AS BIGINT) AS key FROM orders
+            UNION ALL SELECT CAST(user_id AS BIGINT) FROM events)
+        GROUP BY 1
+    """,
+    "union_provenance": f"""
+        SELECT source_table, SUM(amount_cents) AS sum_cents, COUNT(*) AS n FROM (
+            SELECT 'orders' AS source_table, {_c('o_totalprice')} AS amount_cents FROM orders
+            UNION ALL
+            SELECT 'events' AS source_table, {_c('value')} AS amount_cents FROM events)
+        GROUP BY 1
+    """,
+    "cdc_lww_state": f"""
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               {_c('value')} AS last_value_cents
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+                AND event_type <> 'error'
+    """,
+    "cdc_changelog_stats": """
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_deletes,
+               MAX(event_id) AS lsn_watermark
+        FROM events GROUP BY 1
+    """,
+    "token_count": """
+        SELECT lang,
+               SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS total_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "quality_score": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks, n_chars
+                   FROM documents)
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(n_chars / GREATEST(len(toks), 1) * 1e6 + 0.5) AS BIGINT)
+                   AS chars_per_token_e6,
+               CAST(FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / GREATEST(len(toks), 1)) * 1e6 + 0.5) AS BIGINT)
+                   AS dup_token_ratio_e6
+        FROM t
+    """,
+    "fingerprint_census": """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_fp
+        FROM documents GROUP BY 1
+    """,
+    "jaccard_dupes": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                     FROM documents),
+             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                       FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(CAST(i AS DOUBLE)/(sa.sz+sb.sz-i)*1e6 + 0.5) AS BIGINT) AS jaccard_e6
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) >= 0.9
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[]))*1e6 + 0.5)
+                    AS BIGINT) AS cos_e6
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.38
+    """,
+    "ann_topk": """
+        WITH sims AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS s
+            FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < 8)
+        SELECT query_id, neighbor_id,
+               CAST(FLOOR(s*1e6 + 0.5) AS BIGINT) AS cos_e6
+        FROM sims
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) <= 5
+    """,
+}

@@ -1,0 +1,119 @@
+"""Mirror of the driver's correctness gate: run every registered query
+at sf0.001 and compare to its DuckDB oracle — row count, column names,
+and order-insensitive values (columns sorted by name, rows sorted by
+all columns) — plus sanity checks for the rows-only queries.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lakecdc.registry import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_object_dtype(df[c]):
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+ORACLE_NAMES = sorted(ORACLES)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name):
+    got = _normalize(_to_df(QUERIES[name](SF_DIR)))
+    con = _duck(SF_DIR)
+    want = _normalize(con.execute(ORACLES[name]).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name):
+    df = _to_df(QUERIES[name](SF_DIR))
+    assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_lang_id_sane():
+    df = _to_df(QUERIES["lang_id"](SF_DIR))
+    assert set(df.columns) == {"doc_id", "lang", "pred_lang"}
+    assert df["pred_lang"].notna().all()
+
+
+def test_minhash_recall_vs_exact():
+    """LSH candidates verified exactly must be a subset of the exact
+    jaccard pairs, with high recall at this density."""
+    from lakecdc import dedup
+
+    exact = dedup.jaccard_dupes(SF_DIR, threshold=0.9)
+    lsh = dedup.minhash_lsh_pairs(SF_DIR, threshold=0.9)
+    e = set(zip(exact["doc_a"], exact["doc_b"]))
+    l = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert l <= e  # verified candidates are never false positives
+    if e:
+        assert len(l) / len(e) >= 0.6  # banding recall at tau=0.9
+
+def test_ann_ivf_recall():
+    from lakecdc import ann
+
+    exact = ann.ann_topk(SF_DIR)
+    approx = ann.ann_ivf(SF_DIR)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(a & e) / len(e) >= 0.5  # nprobe=4/16 cells
+
+
+def test_media_decoder_stub_raises_without_stub():
+    from lakecdc.multimodal import MediaDecoder
+
+    dec = MediaDecoder(decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"abc")
+
+
+def test_entry_contract():
+    import __ray_entry__ as e
+
+    df = e.entry()
+    assert len(df) > 0
+    assert list(df.columns) == ["doc_id", "n_tok", "source"]
+    ks = e.queries().keys()
+    assert set(e.oracle_sql()).issubset(ks)
