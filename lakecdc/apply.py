@@ -104,87 +104,109 @@ def make_prep_fn(num_buckets: int):
 
 
 class PartitionMerger:
-    """Stateful actor-pool merger: one actor handles many buckets, each
-    exactly once per epoch. The lake snapshot (partition -> files) is
-    built ONCE per actor in __init__ — the broadcast-small-side
-    pattern (reference: the dim-table dicts built before streaming,
-    scripts/individual_support.py:17-27)."""
+    """Per-partition merger. Instantiated either once on the driver and
+    shipped as a task closure (default: zero startup cost, snapshot
+    computed once and broadcast via the closure), or as a stateful
+    actor pool (`cfg.merge_concurrency`) where each actor builds the
+    snapshot once in __init__ — the broadcast-small-side pattern
+    (reference: the dim-table dicts built before streaming,
+    scripts/individual_support.py:17-27). Prefer the actor pool when
+    the snapshot is large (many partitions on a big cluster) and
+    per-task shipping would dominate."""
 
-    def __init__(self, cfg: EngineConfig, epoch: int):
+    def __init__(self, cfg: EngineConfig, epoch: int, base_epoch: int | None = None):
         self.cfg = cfg
         self.epoch = epoch
-        snap = manifest.snapshot(cfg, up_to_epoch=epoch - 1)
+        # base_epoch: last epoch whose commits form the input lake view
+        # (epoch-1 for a single-epoch apply; min(folded)-1 for a fold).
+        snap = manifest.snapshot(
+            cfg, up_to_epoch=epoch - 1 if base_epoch is None else base_epoch
+        )
         self.prev_files: dict[int, list[str]] = {
             p: rec["files"] for p, rec in snap.items()
         }
 
-    def _read_lake_partition(self, bucket: int) -> pa.Table | None:
-        files = self.prev_files.get(bucket)
-        if not files:
-            return None
-        tables = [pq.read_table(f) for f in files]
-        # Null-backfill pre-evolution partition files (additive schema
-        # evolution on the read path).
-        return unify_concat(tables, LAKE_FILE_SCHEMA)
-
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
-        cfg, epoch = self.cfg, self.epoch
-
-        existing = manifest.read_record(cfg, epoch, bucket)
-        if existing is not None:
-            return _lineage_row(existing)  # resume/retry: no-op
-
-        n_invalid = pc.sum(pc.cast(group["_invalid"], pa.int64())).as_py() or 0
-        events = group.filter(pc.invert(group["_invalid"])).drop_columns(
-            ["bucket", "_invalid"]
+        record = merge_and_commit(
+            self.cfg,
+            self.epoch,
+            bucket,
+            self.prev_files.get(bucket),
+            group.drop_columns(["bucket"]),
         )
-        if events.num_rows:
-            lsn_lo = pc.min(events["lsn"]).as_py()
-            lsn_hi = pc.max(events["lsn"]).as_py()
-        else:
-            lsn_lo = lsn_hi = -1
-
-        # Global per-bucket compact across the epoch's batches: the
-        # "final" phase of the two-phase LWW merge.
-        delta = compact_events(events)
-        n_del = pc.sum(
-            pc.cast(pc.equal(delta["op"], OP_DELETE), pa.int64())
-        ).as_py() or 0
-        n_up = delta.num_rows - n_del
-
-        lake_tbl = self._read_lake_partition(bucket)
-        evolved = "source" in delta.column_names or (
-            lake_tbl is not None and "source" in lake_tbl.column_names
-        )
-        target = LAKE_FILE_SCHEMA if evolved else _LAKE_FILE_SCHEMA_V0
-        merged, stats = merge_partition(lake_tbl, delta, schema=target)
-
-        path = cfg.partition_epoch_file(bucket, epoch)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
-        os.replace(tmp, path)
-        bytes_written = os.path.getsize(path)
-
-        record = {
-            "epoch": epoch,
-            "partition": bucket,
-            "lsn_watermark": lsn_hi,
-            "files": [path],
-            "lineage": {
-                "lsn_lo": lsn_lo,
-                "lsn_hi": lsn_hi,
-                "rows_upserted": int(n_up),
-                "rows_deleted": int(n_del),
-                "rows_invalid": int(n_invalid),
-                "bytes_written": int(bytes_written),
-                "rows_live": stats["rows_live"],
-                "rows_tombstoned": stats["rows_tombstoned"],
-            },
-        }
-        manifest.commit(cfg, record)
         return _lineage_row(record)
+
+
+def merge_and_commit(
+    cfg: EngineConfig,
+    epoch: int,
+    bucket: int,
+    prev_files: list[str] | None,
+    events: pa.Table,
+) -> dict:
+    """The per-partition reduce: global LWW compact of this bucket's
+    delta, merge against the lake partition, atomic file write,
+    idempotent manifest commit. Shared by the Dataset groupby path and
+    the direct exchange (lakecdc.exchange). `events` carries the
+    `_invalid` marker column from the prep stage."""
+    existing = manifest.read_record(cfg, epoch, bucket)
+    if existing is not None:
+        return existing  # resume/retry: no-op
+
+    n_invalid = pc.sum(pc.cast(events["_invalid"], pa.int64())).as_py() or 0
+    events = events.filter(pc.invert(events["_invalid"])).drop_columns(["_invalid"])
+    if events.num_rows:
+        lsn_lo = pc.min(events["lsn"]).as_py()
+        lsn_hi = pc.max(events["lsn"]).as_py()
+    else:
+        lsn_lo = lsn_hi = -1
+
+    # Global per-bucket compact across the epoch's batches: the
+    # "final" phase of the two-phase LWW merge.
+    delta = compact_events(events)
+    n_del = pc.sum(
+        pc.cast(pc.equal(delta["op"], OP_DELETE), pa.int64())
+    ).as_py() or 0
+    n_up = delta.num_rows - n_del
+
+    if prev_files:
+        lake_tbl = unify_concat(
+            [pq.read_table(f) for f in prev_files], LAKE_FILE_SCHEMA
+        )
+    else:
+        lake_tbl = None
+    evolved = "source" in delta.column_names or (
+        lake_tbl is not None and "source" in lake_tbl.column_names
+    )
+    target = LAKE_FILE_SCHEMA if evolved else _LAKE_FILE_SCHEMA_V0
+    merged, stats = merge_partition(lake_tbl, delta, schema=target)
+
+    path = cfg.partition_epoch_file(bucket, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+    os.replace(tmp, path)
+    bytes_written = os.path.getsize(path)
+
+    record = {
+        "epoch": epoch,
+        "partition": bucket,
+        "lsn_watermark": lsn_hi,
+        "files": [path],
+        "lineage": {
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "rows_upserted": int(n_up),
+            "rows_deleted": int(n_del),
+            "rows_invalid": int(n_invalid),
+            "bytes_written": int(bytes_written),
+            "rows_live": stats["rows_live"],
+            "rows_tombstoned": stats["rows_tombstoned"],
+        },
+    }
+    manifest.commit(cfg, record)
+    return record
 
 
 def _lineage_row(record: dict[str, Any]) -> pa.Table:
@@ -209,41 +231,95 @@ def _lineage_row(record: dict[str, Any]) -> pa.Table:
 def apply_epoch(cfg: EngineConfig, epoch: int) -> pa.Table:
     """Apply one WAL epoch to the lake; returns the per-partition
     lineage table (one small row per touched partition)."""
-    ds = wal.read_segment(cfg, epoch)
+    return apply_epochs(cfg, [epoch])
+
+
+def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
+    """Apply a RANGE of WAL epochs in ONE pipeline (one read, one
+    shuffle, one merge+commit per partition), committed under the
+    max epoch number.
+
+    Correct because LWW is order-independent: the merge keeps the
+    max-LSN event per key wherever it appears, and tombstones are
+    retained, so folding k epochs into one apply converges to the same
+    state as k sequential applies (asserted against the oracle in
+    tests). Folding is the micro-batch knob of a real CDC tailer —
+    fixed per-pipeline costs (shuffle barriers, commit round-trips)
+    amortize over more events, which is what the scaling bench
+    measures.
+
+    Mixed schema versions across the fold (pre/post `source` evolution)
+    are unified at the read by null-backfill (`schema=WAL_SCHEMA_V1`).
+    """
+    if not epochs:
+        return LINEAGE_SCHEMA.empty_table()
+    epochs = sorted(epochs)
+    epoch = epochs[-1]  # commit epoch
+    if len(epochs) == 1:
+        ds = wal.read_segment(cfg, epochs[0])
+    else:
+        import glob as _glob
+
+        import ray.data as rd
+
+        from lakecdc.schemas import WAL_SCHEMA_V1
+
+        files = [
+            f
+            for e in epochs
+            for f in sorted(
+                _glob.glob(os.path.join(wal.epoch_dir(cfg, e), "*.parquet"))
+            )
+        ]
+        ds = rd.read_parquet(files, schema=WAL_SCHEMA_V1)
+    # No batch_size: each parquet block is one prep task, so the stage
+    # fans out to every core instead of coalescing into a few bundles
+    # (batch-local compaction works at any granularity — LWW is a
+    # semigroup, the global per-bucket compact finishes the job).
     ds = ds.map_batches(
         make_prep_fn(cfg.num_buckets),
         batch_format="pyarrow",
-        batch_size=cfg.wal_batch_size,
         zero_copy_batch=True,
     )
+    base_epoch = epochs[0] - 1
     if cfg.merge_concurrency:
-        concurrency = cfg.merge_concurrency
+        # Stateful actor pool: each actor scans the manifest once in
+        # __init__ (amortized over many partitions per actor).
+        lineage_ds = ds.groupby("bucket").map_groups(
+            PartitionMerger,
+            fn_constructor_args=(cfg, epoch, base_epoch),
+            batch_format="pyarrow",
+            concurrency=cfg.merge_concurrency,
+        )
     else:
-        import ray
+        # Task pool with the snapshot computed ONCE here and broadcast
+        # via the closure — no per-epoch actor startup.
+        merger = PartitionMerger(cfg, epoch, base_epoch)
 
-        # Size the merger pool to the cluster but never beyond the
-        # number of partitions; leave headroom for the read/prep stages
-        # so the pipeline doesn't serialize.
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, min(cfg.num_buckets, cpus - 1))
-    lineage_ds = ds.groupby("bucket").map_groups(
-        PartitionMerger,
-        fn_constructor_args=(cfg, epoch),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+        def merge_group(group: pa.Table) -> pa.Table:
+            return merger(group)
+
+        lineage_ds = ds.groupby("bucket").map_groups(
+            merge_group, batch_format="pyarrow"
+        )
     rows = lineage_ds.take_all()  # one row per partition — metadata-sized
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
 
-def apply_all(cfg: EngineConfig, max_epoch: int | None = None) -> pa.Table:
-    """Tail the WAL: apply every epoch present, in order. This is the
-    `run_all.py` analogue."""
+def apply_all(
+    cfg: EngineConfig, max_epoch: int | None = None, fold: int = 1
+) -> pa.Table:
+    """Tail the WAL: apply every epoch present, in order, folding
+    ``fold`` epochs per pipeline (micro-batch size; see apply_epochs).
+    This is the `run_all.py` analogue."""
+    epochs = [
+        e
+        for e in wal.list_epochs(cfg)
+        if max_epoch is None or e <= max_epoch
+    ]
     tables = []
-    for epoch in wal.list_epochs(cfg):
-        if max_epoch is not None and epoch > max_epoch:
-            break
-        tables.append(apply_epoch(cfg, epoch))
+    for i in range(0, len(epochs), max(fold, 1)):
+        tables.append(apply_epochs(cfg, epochs[i : i + max(fold, 1)]))
     if not tables:
         return LINEAGE_SCHEMA.empty_table()
     return pa.concat_tables(tables)

@@ -1,0 +1,146 @@
+"""CLI driver — the `run_all.py` / `combine_csv.py` analogue.
+
+Owns the Ray session (library code never does). Subcommands:
+
+  synth    generate a deterministic WAL
+  apply    tail + apply WAL epochs (resume-safe; --fold for batching)
+  compact  tombstone-compact all partitions
+  vacuum   delete unreferenced lake files
+  show     print lake/lineage summary
+  verify   replay-oracle check of the current lake
+
+Usage:
+  python -m lakecdc.cli synth --root /tmp/mylake --docs 1000 --epochs 3 --events 5000
+  python -m lakecdc.cli apply --root /tmp/mylake
+  python -m lakecdc.cli verify --root /tmp/mylake
+
+Reference: scripts/run_all.py:31-70 (sequential step driver with
+per-step error handling) and combine_csv.py:135-153 (argparse CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **kwargs,
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lakecdc")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--docs", type=int, default=1000)
+    sp.add_argument("--epochs", type=int, default=3)
+    sp.add_argument("--events", type=int, default=5000, help="events per epoch")
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--evolution-epoch", type=int, default=None)
+    sp.add_argument("--zipf", type=float, default=1.3)
+
+    for name in ("apply", "compact", "vacuum", "show", "verify"):
+        s = sub.add_parser(name)
+        s.add_argument("--root", required=True)
+        if name == "apply":
+            s.add_argument("--fold", type=int, default=1)
+            s.add_argument("--max-epoch", type=int, default=None)
+
+    args = p.parse_args(argv)
+    from lakecdc.config import EngineConfig
+
+    cfg = EngineConfig(root=args.root)
+    cfg.ensure_dirs()
+
+    if args.cmd == "synth":
+        from lakecdc import synth
+
+        paths = synth.write_wal(
+            cfg.wal_dir,
+            n_docs=args.docs,
+            n_epochs=args.epochs,
+            events_per_epoch=args.events,
+            seed=args.seed,
+            evolution_epoch=args.evolution_epoch,
+            zipf_a=args.zipf,
+        )
+        print(json.dumps({"segments": len(paths), "wal_dir": cfg.wal_dir}))
+        return 0
+
+    _ray_init(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "apply":
+            from lakecdc.apply import apply_all
+            from lakecdc.lineage import write_rollup
+
+            lg = apply_all(cfg, max_epoch=args.max_epoch, fold=args.fold)
+            write_rollup(cfg)
+            print(
+                json.dumps(
+                    {
+                        "partitions_committed": lg.num_rows,
+                        "rows_upserted": sum(r["rows_upserted"] for r in lg.to_pylist()),
+                        "rows_deleted": sum(r["rows_deleted"] for r in lg.to_pylist()),
+                        "rows_invalid": sum(r["rows_invalid"] for r in lg.to_pylist()),
+                    }
+                )
+            )
+        elif args.cmd == "compact":
+            from lakecdc.compact import compact
+
+            res = compact(cfg)
+            print(json.dumps({"partitions_compacted": len(res)}))
+        elif args.cmd == "vacuum":
+            from lakecdc.compact import vacuum
+
+            print(json.dumps({"files_deleted": len(vacuum(cfg))}))
+        elif args.cmd == "show":
+            from lakecdc import manifest
+            from lakecdc.lineage import live_row_total
+
+            snap = manifest.snapshot(cfg)
+            print(
+                json.dumps(
+                    {
+                        "partitions": len(snap),
+                        "max_epoch": manifest.resume_point(cfg),
+                        "rows_live": live_row_total(cfg),
+                    }
+                )
+            )
+        elif args.cmd == "verify":
+            from lakecdc import oracle
+            from lakecdc.lake import read_lake_local
+
+            oracle.assert_lake_equals_oracle(
+                read_lake_local(cfg), oracle.replay(cfg.wal_dir)
+            )
+            print(json.dumps({"oracle_match": True}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

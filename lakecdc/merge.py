@@ -33,12 +33,17 @@ def last_per_key(
     """
     if table.num_rows <= 1:
         return table
-    table = table.sort_by([(key, "ascending"), (order, "ascending")])
-    keys = table[key].combine_chunks()
+    # Indices-only sort: the wide token lists are moved ONCE (the final
+    # take) instead of twice (full sort_by + filter).
+    idx = pc.sort_indices(
+        table, sort_keys=[(key, "ascending"), (order, "ascending")]
+    )
+    idx_np = idx.to_numpy()
+    keys = table[key].combine_chunks().take(idx)
     n = len(keys)
     boundary = pc.not_equal(keys.slice(0, n - 1), keys.slice(1, n))
     mask = np.append(boundary.to_numpy(zero_copy_only=False).astype(bool), True)
-    return table.filter(pa.array(mask))
+    return table.take(pa.array(idx_np[mask]))
 
 
 def validate_events(table: pa.Table) -> tuple[pa.Table, int]:

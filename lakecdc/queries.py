@@ -204,16 +204,23 @@ def grouped_nunique(sf_dir: str) -> pd.DataFrame:
     (scripts/merge_support.py:138-146)."""
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "n_priorities": [g["o_orderpriority"].nunique()],
-            }
-        )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int64())
+        return t.append_column("bucket", b)
 
-    out = ds.groupby("o_custkey").map_groups(per_group, batch_format="pandas")
-    df = out.to_pandas()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_custkey", as_index=False)
+            .agg(n_priorities=("o_orderpriority", "nunique"))
+        )
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    df = out.to_pandas()[["o_custkey", "n_priorities"]]
     df["n_priorities"] = df["n_priorities"].astype("int64")
     return df
 
@@ -512,15 +519,27 @@ def priority_dedup(sf_dir: str) -> pd.DataFrame:
     This is LWW-by-LSN generalized — the same kernel family as
     lakecdc.merge.last_per_key.
     """
-    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return g.head(1)
-
     import numpy as np
 
-    out = ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int64())
+        return t.append_column("bucket", b)
+
+    def best_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return g.drop_duplicates("o_custkey", keep="first")
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(best_per_key, batch_format="pandas")
+    )
     df = out.to_pandas()
     df["best_total_cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
     return df[["o_custkey", "o_orderkey", "best_total_cents"]]
@@ -541,15 +560,20 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return t.append_column("text_md5", pa.array(h))
+        t = t.append_column("text_md5", pa.array(h))
+        # Fixed partition count: per-partition work stays vectorized
+        # regardless of how many distinct hashes exist.
+        bucket = [int(x[:8], 16) % 64 for x in h]
+        return t.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_md5", "doc_id"], kind="stable")
+        return g.drop_duplicates("text_md5", keep="first")
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(first, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(first_per_hash, batch_format="pandas")
     )
     return out.to_pandas()[["doc_id", "text", "lang", "text_md5"]]
 

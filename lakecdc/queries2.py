@@ -1,0 +1,189 @@
+"""Second operator wave: shuffle join (both sides large), exact
+distributed quantiles, tumbling-window aggregation, as-of join,
+seeded sampling. Registered in lakecdc.registry alongside wave 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from lakecdc.qutil import cents, read, read_small
+
+
+def shuffle_join(sf_dir: str) -> pd.DataFrame:
+    """Hash-partitioned join where BOTH sides are fact tables —
+    lineitem ⋈ orders on orderkey, revenue by order priority.
+
+    Reference analogue: the merge-support join whose both sides can be
+    large (scripts/merge_support.py:244-251, J6). Uses Dataset.join
+    (hash shuffle on the key); num_partitions is the same kind of
+    knob as EngineConfig.num_buckets.
+    """
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": cents(r)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    import ray
+
+    # Partition count sized to the session: Dataset.join spawns one
+    # hash-shuffle aggregator actor per partition — more partitions
+    # than CPUs deadlocks a small session and oversubscribes a big one.
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_cents", alias_name="sum_rev_cents"), Count(alias_name="n_items")
+    )
+    df = out.to_pandas()
+    df["sum_rev_cents"] = df["sum_rev_cents"].astype("int64")
+    return df
+
+
+def quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (discrete / type-1): build a
+    value-count histogram with a groupby (the shuffle moves one row
+    per DISTINCT value, not per row), cumulative-sum the small result.
+
+    Reference analogue: .quantile(.25/.75/.95) checks
+    (scripts/merge_support.py:297-301; validate_outputs.py:421-439).
+    Matches DuckDB quantile_disc.
+    """
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"price_cents": cents(t["l_extendedprice"])})
+
+    hist = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("price_cents")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("price_cents")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["price_cents"].to_numpy()
+    out = {}
+    for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+        k = int(np.ceil(q * n))  # 1-based rank of quantile_disc
+        out[name + "_cents"] = int(vals[np.searchsorted(cum, k)])
+    out["n"] = n
+    return pd.DataFrame([out])[["n", "p25_cents", "p50_cents", "p75_cents", "p95_cents"]]
+
+
+def tumbling_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window (1 day) per user: Ray Data has no
+    watermarks, so the window key is DERIVED (floor of event time) and
+    the aggregation is an ordinary grouped sum — the guide's pattern
+    for stream-shaped workloads. Late data folds into its window by
+    key, order never matters.
+    """
+    ds = read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": day,
+                "value_cents": cents(t["value"]),
+            }
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("value_cents", alias_name="sum_value_cents"), Count(alias_name="n_events"))
+    )
+    df = out.to_pandas()
+    df["sum_value_cents"] = df["sum_value_cents"].astype("int64")
+    return df
+
+
+def asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each event, the customer's most recent order at
+    or before the event time (match on key, nearest earlier ts) —
+    merge_asof per key partition after an in-partition sort. The
+    partitioning assumption: both sides hash-partitioned by the SAME
+    key (user_id == o_custkey), time-sorted within partition.
+
+    Output: one row per event that has a matching earlier order.
+    """
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = read_small(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    import ray
+
+    orders_sorted = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    # Keep, per (custkey, orderdate), the LAST order (ties: max
+    # orderkey) — merge_asof picks one row per timestamp, make it
+    # deterministic and SQL-expressible.
+    orders_dedup = orders_sorted.drop_duplicates(
+        ["o_custkey", "o_orderdate"], keep="last"
+    )
+    oref = ray.put(orders_dedup)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        odf = ray.get(oref)
+        key = g["user_id"].iloc[0]
+        right = odf[odf["o_custkey"] == key]
+        g = g.sort_values("ts")
+        m = pd.merge_asof(
+            g,
+            right.sort_values("o_orderdate"),
+            left_on="ts",
+            right_on="o_orderdate",
+            direction="backward",
+        )
+        m = m.dropna(subset=["o_orderkey"])
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "order_cents": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "order_cents": np.floor(m["o_totalprice"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(per_key, batch_format="pandas")
+    return out.to_pandas()
+
+
+def sampled_stats(sf_dir: str, fraction: float = 0.05) -> pd.DataFrame:
+    """O5 sampling (seeded): random_sample + aggregate. Statistical by
+    nature -> rows-only check; determinism within one Ray version only,
+    so the test asserts bounds, not values."""
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+    s = ds.random_sample(fraction, seed=42)
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"price_cents": cents(t["l_extendedprice"])})
+
+    agg = s.map_batches(to_cents, batch_format="pyarrow").aggregate(
+        Sum("price_cents", alias_name="sum_cents"), Count(alias_name="n")
+    )
+    return pd.DataFrame([{"n": int(agg["n"]), "sum_cents": int(agg["sum_cents"])}])

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from lakecdc import ann, dedup, multimodal, queries as q, text
+from lakecdc import ann, dedup, multimodal, queries as q, queries2 as q2, text
 from lakecdc.flagship import run_flagship
 
 _C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
@@ -49,6 +49,12 @@ QUERIES: dict[str, Callable] = {
     # --- CDC semantics over the events stream ---
     "cdc_lww_state": q.cdc_lww_state,
     "cdc_changelog_stats": q.cdc_changelog_stats,
+    # --- wave 2: shuffle join, quantiles, windows, as-of, sampling ---
+    "shuffle_join": q2.shuffle_join,
+    "quantiles": q2.quantiles,
+    "tumbling_window": q2.tumbling_window,
+    "asof_join": q2.asof_join,
+    "sampled_stats": q2.sampled_stats,  # statistical: rows-only
     # --- text analysis ---
     "token_count": text.token_count,
     "quality_score": text.quality_score,
@@ -211,6 +217,35 @@ ORACLES: dict[str, str] = {
                SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_deletes,
                MAX(event_id) AS lsn_watermark
         FROM events GROUP BY 1
+    """,
+    "shuffle_join": f"""
+        SELECT o_orderpriority,
+               SUM({_c('l_extendedprice * (1 - l_discount)')}) AS sum_rev_cents,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    """,
+    "quantiles": f"""
+        WITH c AS (SELECT {_c('l_extendedprice')} AS pc FROM lineitem)
+        SELECT COUNT(*) AS n,
+               quantile_disc(pc, 0.25) AS p25_cents,
+               quantile_disc(pc, 0.50) AS p50_cents,
+               quantile_disc(pc, 0.75) AS p75_cents,
+               quantile_disc(pc, 0.95) AS p95_cents
+        FROM c
+    """,
+    "tumbling_window": f"""
+        SELECT user_id, date_trunc('day', ts) AS window_start,
+               SUM({_c('value')}) AS sum_value_cents, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "asof_join": f"""
+        SELECT e.event_id, e.user_id, o.o_orderkey,
+               {_c('o.o_totalprice')} AS order_cents
+        FROM events e ASOF JOIN (
+            SELECT * FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) = 1) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "token_count": """
         SELECT lang,

@@ -48,8 +48,10 @@ def _token_lists(
     )
 
 
-def generate_epoch(
+def generate_segment(
     epoch: int,
+    segment: int = 0,
+    n_segments: int = 1,
     *,
     n_docs: int,
     events_per_epoch: int,
@@ -60,11 +62,21 @@ def generate_epoch(
     evolution_epoch: int | None = None,
     p_invalid: float = 0.0,
 ) -> pa.Table:
-    """One epoch's events: contiguous LSNs
-    [epoch*events_per_epoch + 1, (epoch+1)*events_per_epoch]."""
-    rng = np.random.default_rng([seed, epoch])
-    n = events_per_epoch
-    lsn_lo = epoch * events_per_epoch + 1
+    """One SEGMENT of one epoch's events (contiguous LSN sub-range),
+    independently seeded by (seed, epoch, segment) so segments generate
+    in parallel with bounded memory and content independent of how many
+    other segments exist."""
+    rows_per = -(-events_per_epoch // n_segments)
+    lo = segment * rows_per
+    n = min(rows_per, events_per_epoch - lo)
+    if n <= 0:
+        return (
+            WAL_SCHEMA_V1
+            if evolution_epoch is not None and epoch >= evolution_epoch
+            else WAL_SCHEMA_V0
+        ).empty_table()
+    rng = np.random.default_rng([seed, epoch, segment])
+    lsn_lo = epoch * events_per_epoch + lo + 1
     lsn = np.arange(lsn_lo, lsn_lo + n, dtype=np.int64)
     # Zipf-skewed key choice folded into the doc universe (hot keys).
     doc_idx = (rng.zipf(zipf_a, size=n) - 1) % n_docs
@@ -104,6 +116,21 @@ def generate_epoch(
     return table
 
 
+def write_segment(
+    wal_dir: str, epoch: int, segment: int, n_segments: int, **kwargs
+) -> str | None:
+    table = generate_segment(epoch, segment, n_segments, **kwargs)
+    if table.num_rows == 0:
+        return None
+    edir = os.path.join(wal_dir, f"epoch={epoch:09d}")
+    os.makedirs(edir, exist_ok=True)
+    p = os.path.join(edir, f"seg-{segment:03d}.parquet")
+    tmp = p + f".tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, p)
+    return p
+
+
 def write_wal(
     wal_dir: str,
     *,
@@ -112,28 +139,28 @@ def write_wal(
     events_per_epoch: int,
     seed: int = 42,
     segments_per_epoch: int = 4,
+    parallel: bool = False,
     **epoch_kwargs,
 ) -> list[str]:
     """Materialize the WAL: ``wal_dir/epoch=NNNNNNNNN/seg-K.parquet``.
-    Multiple segment files per epoch so the Ray read parallelizes."""
-    paths = []
-    for epoch in range(n_epochs):
-        table = generate_epoch(
-            epoch,
-            n_docs=n_docs,
-            events_per_epoch=events_per_epoch,
-            seed=seed,
-            **epoch_kwargs,
+    Multiple segment files per epoch so the Ray read parallelizes;
+    ``parallel=True`` generates segments as Ray tasks (requires an
+    initialized Ray; content is identical either way)."""
+    kwargs = dict(
+        n_docs=n_docs,
+        events_per_epoch=events_per_epoch,
+        seed=seed,
+        **epoch_kwargs,
+    )
+    n_seg = max(1, min(segments_per_epoch, events_per_epoch))
+    jobs = [(e, k) for e in range(n_epochs) for k in range(n_seg)]
+    if parallel:
+        import ray
+
+        w = ray.remote(write_segment)
+        paths = ray.get(
+            [w.remote(wal_dir, e, k, n_seg, **kwargs) for e, k in jobs]
         )
-        edir = os.path.join(wal_dir, f"epoch={epoch:09d}")
-        os.makedirs(edir, exist_ok=True)
-        n_seg = max(1, min(segments_per_epoch, table.num_rows))
-        rows_per = -(-table.num_rows // n_seg)
-        for k in range(n_seg):
-            seg = table.slice(k * rows_per, rows_per)
-            if seg.num_rows == 0:
-                continue
-            p = os.path.join(edir, f"seg-{k:03d}.parquet")
-            pq.write_table(seg, p)
-            paths.append(p)
-    return paths
+    else:
+        paths = [write_segment(wal_dir, e, k, n_seg, **kwargs) for e, k in jobs]
+    return [p for p in paths if p]

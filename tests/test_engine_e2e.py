@@ -175,6 +175,63 @@ def test_time_travel(tmp_root):
     oracle.assert_lake_equals_oracle(as_of_1, oracle.replay(cfg.wal_dir, max_epoch=1))
 
 
+def test_folded_apply_matches_oracle(tmp_root):
+    """apply_epochs folding k epochs into one pipeline converges to the
+    same state as sequential per-epoch applies (LWW order-independence),
+    across the schema-evolution boundary."""
+    from lakecdc.apply import apply_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=4, evolution_epoch=2)
+    apply_epochs(cfg, [0, 1, 2, 3])
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_folded_apply_resumes_from_partial_epochs(tmp_root):
+    """A fold applied after some epochs already committed individually
+    still converges (base snapshot = min(folded)-1)."""
+    from lakecdc.apply import apply_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=4)
+    apply_epoch(cfg, 0)
+    apply_epoch(cfg, 1)
+    apply_epochs(cfg, [2, 3])
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_direct_exchange_matches_oracle(tmp_root):
+    """The raw-Ray push-exchange apply path (lakecdc.exchange) produces
+    the identical lake as the Dataset groupby path, incl. evolution and
+    invalid-event accounting."""
+    import pyarrow.compute as pc2
+
+    from lakecdc.exchange import apply_all_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=4, evolution_epoch=2, p_invalid=0.05)
+    lg = apply_all_direct(cfg, fold=2)
+    assert (pc2.sum(lg["rows_invalid"]).as_py() or 0) > 0
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_direct_exchange_resume_and_idempotence(tmp_root):
+    from lakecdc.exchange import apply_all_direct, apply_epochs_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epochs_direct(cfg, [0])
+    # partial crash: drop some epoch-0 commits, resume via re-apply
+    victims = sorted(manifest.committed_partitions(cfg, 0))[:2]
+    for b in victims:
+        os.remove(
+            os.path.join(cfg.manifest_dir, "epoch=000000000", f"part-{b:05d}.json")
+        )
+    apply_epochs_direct(cfg, [0])
+    apply_all_direct(cfg)  # replays everything: no-ops
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
 def test_hot_key_skew_zipf(tmp_root):
     """Heavy Zipf skew (a=1.05 -> one dominant key) still matches the
     oracle; the batch-local combiner bounds the hot key's shuffle rows."""

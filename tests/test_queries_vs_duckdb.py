@@ -84,7 +84,9 @@ def test_minhash_recall_vs_exact():
     from lakecdc import dedup
 
     exact = dedup.jaccard_dupes(SF_DIR, threshold=0.9)
-    lsh = dedup.minhash_lsh_pairs(SF_DIR, threshold=0.9)
+    # uncapped buckets here: recall is only meaningful without the
+    # degenerate-bucket guard (this corpus is everything-similar-dense)
+    lsh = dedup.minhash_lsh_pairs(SF_DIR, threshold=0.9, max_bucket=100_000)
     e = set(zip(exact["doc_a"], exact["doc_b"]))
     l = set(zip(lsh["doc_a"], lsh["doc_b"]))
     assert l <= e  # verified candidates are never false positives
