@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--evolution-epoch", type=int, default=None)
     sp.add_argument("--zipf", type=float, default=1.3)
 
-    for name in ("apply", "compact", "vacuum", "show", "verify"):
+    for name in ("apply", "compact", "vacuum", "show", "verify", "validate"):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
         if name == "apply":
@@ -129,6 +129,20 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "validate":
+            from lakecdc.validate import validate_lake
+
+            results = validate_lake(cfg, raise_on_fail=False)
+            print(
+                json.dumps(
+                    {
+                        "ok": all(ok for _, ok, _ in results),
+                        "checks": {n: ok for n, ok, _ in results},
+                        "failures": [d for _, ok, d in results if not ok],
+                    }
+                )
+            )
+            return 0 if all(ok for _, ok, _ in results) else 1
         elif args.cmd == "verify":
             from lakecdc import oracle
             from lakecdc.lake import read_lake_local
