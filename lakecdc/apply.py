@@ -33,8 +33,8 @@ import pyarrow.parquet as pq
 from lakecdc import manifest, wal
 from lakecdc.config import EngineConfig, OP_DELETE
 from lakecdc.evolve import unify_concat
-from lakecdc.merge import compact_events, last_per_key, merge_partition
-from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA, WAL_SCHEMA_V0
+from lakecdc.merge import compact_events, merge_partition
+from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA
 from lakecdc.shuffle import with_bucket
 
 _LAKE_FILE_SCHEMA_V0 = pa.schema(

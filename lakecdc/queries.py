@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
-from lakecdc.qutil import cents, e6, read, read_small
+from lakecdc.qutil import cents, read, read_small
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,24 @@ def test_hot_key_skew_zipf(tmp_root):
     gen(cfg, n_docs=20, events_per_epoch=2000, n_epochs=2, zipf_a=1.05)
     apply_all(cfg)
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_combiner_bounds_hot_key_shuffle_rows(tmp_root):
+    """The salting-equivalent claim of lakecdc.shuffle, asserted
+    directly: after the pre-shuffle stage, a hot key contributes at
+    most one row PER BATCH to the exchange, no matter how many events
+    hit it (here the hottest key has >50 events in one batch)."""
+    import pyarrow.parquet as pq2
+
+    from lakecdc.apply import make_prep_fn
+    from lakecdc.shuffle import hot_key_stats
+
+    cfg = make_cfg(tmp_root, num_buckets=4)
+    gen(cfg, n_docs=10, events_per_epoch=3000, n_epochs=1, zipf_a=1.05)
+    seg = os.path.join(cfg.wal_dir, "epoch=000000000", "seg-000.parquet")
+    batch = pq2.read_table(seg)
+    stats = hot_key_stats(batch, threshold=50)
+    assert stats["max_multiplicity"] > 50  # the input really is skewed
+    out = make_prep_fn(cfg.num_buckets)(batch)
+    post = hot_key_stats(out, threshold=1)
+    assert post["max_multiplicity"] == 1  # ≤1 row per key reaches the shuffle
