@@ -64,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
         if name == "apply":
             s.add_argument("--fold", type=int, default=1)
             s.add_argument("--max-epoch", type=int, default=None)
+            s.add_argument(
+                "--follow",
+                action="store_true",
+                help="keep tailing: poll the WAL dir and apply new epochs as they appear",
+            )
+            s.add_argument("--poll-sec", type=float, default=2.0)
+            s.add_argument(
+                "--max-polls", type=int, default=None,
+                help="stop after this many empty polls (default: forever)",
+            )
 
     args = p.parse_args(argv)
     from lakecdc.config import EngineConfig
@@ -91,21 +101,46 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "apply":
-            from lakecdc.apply import apply_all
+            import time
+
+            from lakecdc import wal as wal_mod
+            from lakecdc.apply import apply_all, apply_epochs
             from lakecdc.lineage import write_rollup
+
+            def report(lg):
+                print(
+                    json.dumps(
+                        {
+                            "partitions_committed": lg.num_rows,
+                            "rows_upserted": sum(r["rows_upserted"] for r in lg.to_pylist()),
+                            "rows_deleted": sum(r["rows_deleted"] for r in lg.to_pylist()),
+                            "rows_invalid": sum(r["rows_invalid"] for r in lg.to_pylist()),
+                        }
+                    ),
+                    flush=True,
+                )
 
             lg = apply_all(cfg, max_epoch=args.max_epoch, fold=args.fold)
             write_rollup(cfg)
-            print(
-                json.dumps(
-                    {
-                        "partitions_committed": lg.num_rows,
-                        "rows_upserted": sum(r["rows_upserted"] for r in lg.to_pylist()),
-                        "rows_deleted": sum(r["rows_deleted"] for r in lg.to_pylist()),
-                        "rows_invalid": sum(r["rows_invalid"] for r in lg.to_pylist()),
-                    }
-                )
-            )
+            report(lg)
+            if args.follow:
+                # Continuous tail: the checkpoint IS the manifest —
+                # each poll applies only epochs past the last commit
+                # (committed partitions no-op anyway).
+                from lakecdc import manifest as mf
+
+                empty_polls = 0
+                while args.max_polls is None or empty_polls < args.max_polls:
+                    done = mf.resume_point(cfg)
+                    new = [e for e in wal_mod.list_epochs(cfg) if e > done]
+                    if new:
+                        empty_polls = 0
+                        lg = apply_epochs(cfg, new[: max(args.fold, 1)])
+                        write_rollup(cfg)
+                        report(lg)
+                    else:
+                        empty_polls += 1
+                        time.sleep(args.poll_sec)
         elif args.cmd == "compact":
             from lakecdc.compact import compact
 

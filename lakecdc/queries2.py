@@ -173,6 +173,82 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+class _Bloom:
+    """Minimal vectorized Bloom filter (double hashing, numpy bit
+    array). Deterministic; built once on the driver and broadcast."""
+
+    def __init__(self, keys: np.ndarray, bits_per_key: int = 16, k: int = 7):
+        self.m = max(64, len(keys) * bits_per_key)
+        self.k = k
+        self.bits = np.zeros(self.m, dtype=bool)
+        h1, h2 = self._hashes(keys)
+        for i in range(k):
+            self.bits[(h1 + np.uint64(i) * h2) % self.m] = True
+
+    @staticmethod
+    def _hashes(keys: np.ndarray):
+        x = keys.astype(np.uint64)
+        h1 = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16)
+        h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(16) | np.uint64(1)
+        return h1, h2
+
+    def maybe_contains(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = self._hashes(keys)
+        out = np.ones(len(keys), dtype=bool)
+        for i in range(self.k):
+            out &= self.bits[(h1 + np.uint64(i) * h2) % self.m]
+        return out
+
+
+def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Semi-join via a broadcast BLOOM FILTER of the key set, with
+    exact verification of survivors — the at-scale shape of J1/J2:
+    when the key set is too big to ship as a set, ship ~2 bytes/key of
+    bits instead, drop ~99% of non-matching rows in the map stage, and
+    let the (now tiny) survivor stream hit the exact check. Output is
+    exact, so the oracle is the plain semi-join.
+
+    Reference: the Super-PAC ID set probe (scripts/
+    superpac_ie_support.py:53,87) at a cardinality where the set
+    itself no longer broadcasts.
+    """
+    import ray
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_size"])
+    import pyarrow.compute as pc2
+
+    big = part.filter(pc2.greater(part["p_size"], 25))["p_partkey"].to_numpy()
+    bloom = _Bloom(big)
+    exact = frozenset(int(x) for x in big)
+    ref = ray.put((bloom, exact))
+
+    ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def f(t: pa.Table) -> pa.Table:
+        bloom, exact = ray.get(ref)
+        keys = t["l_partkey"].to_numpy()
+        cand = bloom.maybe_contains(keys)  # cheap vectorized prefilter
+        t = t.filter(pa.array(cand))
+        keys = t["l_partkey"].to_numpy()
+        ok = np.fromiter((int(k) in exact for k in keys), bool, len(keys))
+        t = t.filter(pa.array(ok))  # exact verify of survivors
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].astype("int64")
+    return df
+
+
 def sampled_stats(sf_dir: str, fraction: float = 0.05) -> pd.DataFrame:
     """O5 sampling (seeded): random_sample + aggregate. Statistical by
     nature -> rows-only check; determinism within one Ray version only,

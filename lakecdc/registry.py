@@ -51,6 +51,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_changelog_stats": q.cdc_changelog_stats,
     # --- wave 2: shuffle join, quantiles, windows, as-of, sampling ---
     "shuffle_join": q2.shuffle_join,
+    "bloom_semi_join": q2.bloom_semi_join,
     "quantiles": q2.quantiles,
     "tumbling_window": q2.tumbling_window,
     "asof_join": q2.asof_join,
@@ -223,6 +224,12 @@ ORACLES: dict[str, str] = {
                SUM({_c('l_extendedprice * (1 - l_discount)')}) AS sum_rev_cents,
                COUNT(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    """,
+    "bloom_semi_join": """
+        SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        GROUP BY 1
     """,
     "quantiles": f"""
         WITH c AS (SELECT {_c('l_extendedprice')} AS pc FROM lineitem)
