@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 from lakecdc import manifest, wal
 from lakecdc.config import EngineConfig, OP_DELETE
-from lakecdc.evolve import unify_concat
+from lakecdc.evolve import conform, unify_concat
 from lakecdc.merge import compact_events, merge_partition
 from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA
 from lakecdc.shuffle import with_bucket
@@ -119,12 +119,11 @@ class PartitionMerger:
         self.epoch = epoch
         # base_epoch: last epoch whose commits form the input lake view
         # (epoch-1 for a single-epoch apply; min(folded)-1 for a fold).
-        snap = manifest.snapshot(
+        # The view is the base+delta file CHAIN per partition
+        # (merge-on-read; a pure-CoW history is a one-file chain).
+        self.prev_files: dict[int, list[str]] = manifest.partition_view(
             cfg, up_to_epoch=epoch - 1 if base_epoch is None else base_epoch
         )
-        self.prev_files: dict[int, list[str]] = {
-            p: rec["files"] for p, rec in snap.items()
-        }
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
@@ -170,17 +169,32 @@ def merge_and_commit(
     ).as_py() or 0
     n_up = delta.num_rows - n_del
 
-    if prev_files:
-        lake_tbl = unify_concat(
-            [pq.read_table(f) for f in prev_files], LAKE_FILE_SCHEMA
-        )
+    kind = "base"
+    if cfg.write_mode == "mor" and prev_files:
+        # Merge-on-read: persist only the compacted delta (as physical
+        # lake rows, tombstones included); the fold with the base
+        # happens on read / at compaction. No base read, no rewrite —
+        # O(delta) I/O per partition per epoch.
+        from lakecdc.merge import events_to_lake_rows
+
+        merged = events_to_lake_rows(delta)
+        if "source" not in delta.column_names:
+            merged = conform(merged, _LAKE_FILE_SCHEMA_V0)
+        live = pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0
+        stats = {"rows_live": int(live), "rows_tombstoned": merged.num_rows - int(live)}
+        kind = "delta"
     else:
-        lake_tbl = None
-    evolved = "source" in delta.column_names or (
-        lake_tbl is not None and "source" in lake_tbl.column_names
-    )
-    target = LAKE_FILE_SCHEMA if evolved else _LAKE_FILE_SCHEMA_V0
-    merged, stats = merge_partition(lake_tbl, delta, schema=target)
+        if prev_files:
+            lake_tbl = unify_concat(
+                [pq.read_table(f) for f in prev_files], LAKE_FILE_SCHEMA
+            )
+        else:
+            lake_tbl = None
+        evolved = "source" in delta.column_names or (
+            lake_tbl is not None and "source" in lake_tbl.column_names
+        )
+        target = LAKE_FILE_SCHEMA if evolved else _LAKE_FILE_SCHEMA_V0
+        merged, stats = merge_partition(lake_tbl, delta, schema=target)
 
     path = cfg.partition_epoch_file(bucket, epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -192,6 +206,7 @@ def merge_and_commit(
     record = {
         "epoch": epoch,
         "partition": bucket,
+        "kind": kind,
         "lsn_watermark": lsn_hi,
         "files": [path],
         "lineage": {

@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
         if name == "apply":
+            s.add_argument(
+                "--mode", choices=["cow", "mor"], default="cow",
+                help="cow: rewrite partitions; mor: write merge-on-read deltas",
+            )
             s.add_argument("--fold", type=int, default=1)
             s.add_argument("--max-epoch", type=int, default=None)
             s.add_argument(
@@ -78,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     from lakecdc.config import EngineConfig
 
-    cfg = EngineConfig(root=args.root)
+    cfg = EngineConfig(root=args.root, write_mode=getattr(args, "mode", "cow"))
     cfg.ensure_dirs()
 
     if args.cmd == "synth":

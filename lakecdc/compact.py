@@ -1,13 +1,15 @@
 """Tombstone compaction + file vacuum.
 
-The epoch merge is copy-on-write (each touched partition is fully
-rewritten), so a partition's latest epoch file IS the whole partition;
-compaction therefore does two things:
+In copy-on-write mode a partition's latest epoch file IS the whole
+partition; in merge-on-read mode the partition is a base + delta file
+chain. Compaction does two things:
 
-1. **Tombstone compaction**: rewrite each partition dropping `_deleted`
-   rows whose `_lsn` <= the partition's committed watermark (all
-   applied events are <= the watermark, so no lower-LSN event can ever
-   arrive to be shielded — the tombstone has done its job).
+1. **Chain fold + tombstone compaction**: LWW-fold each partition's
+   base+delta chain (merge-on-read mode leaves deltas behind) into a
+   single new base, dropping `_deleted` rows whose `_lsn` <= the
+   partition's committed watermark (all applied events are <= the
+   watermark, so no lower-LSN event can ever arrive to be shielded —
+   the tombstone has done its job).
 2. **Vacuum**: delete lake files no longer referenced by the current
    snapshot (old epochs), bounding storage. Explicit and separate,
    because removing them forfeits time travel.
@@ -37,10 +39,16 @@ from lakecdc.schemas import LAKE_FILE_SCHEMA
 
 
 @ray.remote
-def _compact_partition(cfg: EngineConfig, bucket: int, rec: dict, as_epoch: int) -> dict:
+def _compact_partition(
+    cfg: EngineConfig, bucket: int, files: list, watermark: int, as_epoch: int
+) -> dict:
     if manifest.is_committed(cfg, as_epoch, bucket):
         return manifest.read_record(cfg, as_epoch, bucket)["lineage"]
-    table = unify_concat([pq.read_table(f) for f in rec["files"]], LAKE_FILE_SCHEMA)
+    from lakecdc.merge import last_per_key
+
+    table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
+    # Fold the base+delta chain (merge-on-read) to current state first.
+    table = last_per_key(table, key="doc_id", order="_lsn")
     dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
     live = table.filter(pc.invert(table["_deleted"]))
     path = cfg.partition_epoch_file(bucket, as_epoch)
@@ -51,11 +59,12 @@ def _compact_partition(cfg: EngineConfig, bucket: int, rec: dict, as_epoch: int)
     record = {
         "epoch": as_epoch,
         "partition": bucket,
-        "lsn_watermark": rec["lsn_watermark"],
+        "kind": "base",
+        "lsn_watermark": watermark,
         "files": [path],
         "lineage": {
             "lsn_lo": -1,
-            "lsn_hi": rec["lsn_watermark"],
+            "lsn_hi": watermark,
             "rows_upserted": 0,
             "rows_deleted": int(dropped),  # tombstones physically removed
             "rows_invalid": 0,
@@ -72,14 +81,17 @@ def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
     """Tombstone-compact every partition, committing the rewrites as
     epoch ``as_epoch`` (default: one past the latest committed epoch).
     Idempotent and resumable exactly like an apply."""
+    view = manifest.partition_view(cfg)
     snap = manifest.snapshot(cfg)
-    if not snap:
+    if not view:
         return {}
     if as_epoch is None:
         as_epoch = manifest.resume_point(cfg) + 1
     futures = {
-        b: _compact_partition.remote(cfg, b, rec, as_epoch)
-        for b, rec in snap.items()
+        b: _compact_partition.remote(
+            cfg, b, files, snap[b]["lsn_watermark"], as_epoch
+        )
+        for b, files in view.items()
     }
     return {b: ray.get(f) for b, f in futures.items()}
 
@@ -87,10 +99,13 @@ def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
 def vacuum(cfg: EngineConfig) -> list[str]:
     """Delete lake files not referenced by the CURRENT snapshot (drops
     time travel to earlier epochs). Returns deleted paths."""
+    # NB: the reference set is the partition VIEW (base + delta
+    # chains), not just each partition's latest record — deleting a
+    # still-chained delta file would corrupt merge-on-read state.
     referenced = {
         os.path.realpath(f)
-        for rec in manifest.snapshot(cfg).values()
-        for f in rec["files"]
+        for files in manifest.partition_view(cfg).values()
+        for f in files
     }
     deleted = []
     for f in glob.glob(os.path.join(cfg.lake_dir, "part=*", "epoch=*", "*.parquet")):

@@ -39,6 +39,14 @@ class EngineConfig:
     hot_key_batch_threshold: int = 1_000
     # Actor-pool size for stateful merge stages (None -> let Ray size it).
     merge_concurrency: int | None = None
+    # Partition write mode: "cow" rewrites the full partition per apply
+    # (reads amplify nothing; writes amplify by partition/delta size);
+    # "mor" (merge-on-read) writes only the compacted delta per apply
+    # and defers the fold to reads/compaction — the right trade for
+    # frequent small epochs over a huge lake. Either way the state is
+    # the LWW merge of the manifest's file chain, so modes can be mixed
+    # freely and compaction always returns to a single base.
+    write_mode: str = "cow"
     seed: int = 42
 
     @property

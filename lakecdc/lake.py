@@ -1,11 +1,14 @@
 """Lake read path.
 
-The current lake = for each partition, the files of its latest
-committed manifest record. Files may be at different schema-evolution
-stages (pre-evolution partitions lack `source`); the read unifies them
-by null-backfill — the ``_safe_read_csv`` analogue
-(scripts/merge_support.py:17-36) done by pyarrow's dataset schema
-projection, not per-row Python.
+The current lake = per partition, the manifest's file CHAIN (latest
+base + subsequent merge-on-read deltas; a pure copy-on-write history is
+a one-file chain). The read LWW-merges the chain per partition —
+partitions are disjoint by doc_id, so each partition merges
+independently in its own task, no shuffle.
+
+Files may be at different schema-evolution stages (pre-evolution
+partitions lack `source`); the read unifies them by null-backfill —
+the ``_safe_read_csv`` analogue (scripts/merge_support.py:17-36).
 """
 
 from __future__ import annotations
@@ -19,12 +22,25 @@ import ray.data as rd
 from lakecdc import manifest
 from lakecdc.config import EngineConfig
 from lakecdc.evolve import unify_concat
+from lakecdc.merge import last_per_key
 from lakecdc.schemas import LAKE_FILE_SCHEMA, LAKE_SCHEMA
 
 
 def lake_files(cfg: EngineConfig, up_to_epoch: int | None = None) -> list[str]:
-    snap = manifest.snapshot(cfg, up_to_epoch)
-    return [f for rec in snap.values() for f in rec["files"]]
+    view = manifest.partition_view(cfg, up_to_epoch)
+    return [f for files in view.values() for f in files]
+
+
+def _merge_chain(files: list[str], include_meta: bool) -> pa.Table:
+    """LWW-fold one partition's file chain into its live rows."""
+    table = unify_concat(
+        [pq.read_table(f, use_threads=False) for f in files], LAKE_FILE_SCHEMA
+    )
+    table = last_per_key(table, key="doc_id", order="_lsn")
+    table = table.filter(pc.invert(table["_deleted"]))
+    if not include_meta:
+        table = table.select([f.name for f in LAKE_SCHEMA])
+    return table
 
 
 def read_lake(
@@ -32,23 +48,28 @@ def read_lake(
     up_to_epoch: int | None = None,
     include_meta: bool = False,
 ) -> rd.Dataset:
-    """The live lake as a lazy Dataset (tombstones filtered, metadata
-    columns dropped unless ``include_meta``). ``up_to_epoch`` gives
-    time travel to any past committed epoch."""
-    files = lake_files(cfg, up_to_epoch)
-    if not files:
+    """The live lake as a lazy Dataset: one read+merge task per
+    partition (tombstones applied, metadata columns dropped unless
+    ``include_meta``). ``up_to_epoch`` gives time travel to any past
+    committed epoch."""
+    view = manifest.partition_view(cfg, up_to_epoch)
+    if not view:
         return rd.from_arrow(
             LAKE_FILE_SCHEMA.empty_table() if include_meta else LAKE_SCHEMA.empty_table()
         )
-    ds = rd.read_parquet(files, schema=LAKE_FILE_SCHEMA)
+    parts = rd.from_items(
+        [{"files": files} for files in view.values()]
+    )
 
-    def live(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.invert(batch["_deleted"]))
-        if not include_meta:
-            batch = batch.select([f.name for f in LAKE_SCHEMA])
-        return batch
+    def load(batch: pa.Table) -> pa.Table:
+        tables = [
+            _merge_chain(list(files), include_meta) for files in batch["files"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else (
+            LAKE_FILE_SCHEMA.empty_table() if include_meta else LAKE_SCHEMA.empty_table()
+        )
 
-    return ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.map_batches(load, batch_size=1, batch_format="pyarrow")
 
 
 def read_lake_local(
@@ -56,11 +77,9 @@ def read_lake_local(
 ) -> pd.DataFrame:
     """Driver-side read for TESTS and small checks only (materializes).
     The production path is ``read_lake`` (streaming)."""
-    files = lake_files(cfg, up_to_epoch)
-    if not files:
+    view = manifest.partition_view(cfg, up_to_epoch)
+    if not view:
         return LAKE_SCHEMA.empty_table().to_pandas()
-    table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
-    table = table.filter(pc.invert(table["_deleted"]))
-    table = table.select([f.name for f in LAKE_SCHEMA])
-    df = table.to_pandas()
+    tables = [_merge_chain(files, include_meta=False) for files in view.values()]
+    df = pa.concat_tables(tables).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)

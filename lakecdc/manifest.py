@@ -94,6 +94,40 @@ def latest_files(
     return rec["files"] if rec else []
 
 
+def partition_view(
+    cfg: EngineConfig, up_to_epoch: int | None = None
+) -> dict[int, list[str]]:
+    """Per partition, the ordered file chain that constitutes its
+    current state: the latest `kind == "base"` record's files followed
+    by every later `kind == "delta"` record's files (merge-on-read).
+    Records without a `kind` field are bases (copy-on-write history).
+    LWW-merging the chain (last_per_key by _lsn) yields the partition.
+    """
+    chains: dict[int, list[tuple[int, str, list[str]]]] = {}
+    for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
+        epoch = int(os.path.basename(edir).split("=")[1])
+        if up_to_epoch is not None and epoch > up_to_epoch:
+            continue
+        for p in glob.glob(os.path.join(edir, "part-*.json")):
+            partition = int(os.path.basename(p).split("-")[1].split(".")[0])
+            with open(p) as f:
+                rec = json.load(f)
+            chains.setdefault(partition, []).append(
+                (epoch, rec.get("kind", "base"), rec["files"])
+            )
+    view: dict[int, list[str]] = {}
+    for partition, entries in chains.items():
+        entries.sort()
+        files: list[str] = []
+        for _, kind, fs in entries:
+            if kind == "base":
+                files = list(fs)  # a base supersedes everything before it
+            else:
+                files.extend(fs)
+        view[partition] = files
+    return view
+
+
 def resume_point(cfg: EngineConfig) -> int:
     """The checkpoint: lowest epoch not fully committed is unknowable
     without the event stream, so resume-by-replay re-runs from the

@@ -76,11 +76,12 @@ def _checks(cfg: EngineConfig) -> list[tuple[str, bool, str]]:
     # 2. Partition disjointness: every row's hash-bucket matches the
     #    partition directory it is stored in (reference: S+P split
     #    disjointness validate_outputs.py:324-387).
+    view = manifest.partition_view(cfg)
     misplaced = 0
-    for p, rec in snap.items():
+    for p, files in view.items():
         import pyarrow.parquet as pq
 
-        for f in rec["files"]:
+        for f in files:
             t = pq.read_table(f, columns=["doc_id"])
             if t.num_rows:
                 b = bucket_of(t["doc_id"], cfg.num_buckets)
@@ -89,17 +90,22 @@ def _checks(cfg: EngineConfig) -> list[tuple[str, bool, str]]:
 
     # 3. Lineage accounting: sum of per-partition live rows == lake
     #    rows (reference: final + no_support = all,
-    #    validate_outputs.py:277-321).
-    live_sum = sum(r.get("lineage", {}).get("rows_live", 0) for r in snap.values())
-    results.append(
-        ("lineage_live_total", live_sum == total_rows, f"lineage {live_sum} vs lake {total_rows}")
-    )
+    #    validate_outputs.py:277-321). Only meaningful when every
+    #    latest record is a base (after CoW applies or a compaction);
+    #    a merge-on-read delta's rows_live counts only its delta.
+    if all(r.get("kind", "base") == "base" for r in snap.values()):
+        live_sum = sum(r.get("lineage", {}).get("rows_live", 0) for r in snap.values())
+        results.append(
+            ("lineage_live_total", live_sum == total_rows, f"lineage {live_sum} vs lake {total_rows}")
+        )
+    else:
+        results.append(("lineage_live_total", True, "skipped (merge-on-read deltas present)"))
 
     # 4. Manifest integrity: every referenced file exists; watermarks
     #    are per-partition monotone across epochs (reference:
     #    intermediate-containment checks validate_outputs.py:390-408).
     missing = [
-        f for rec in snap.values() for f in rec["files"] if not os.path.exists(f)
+        f for files in view.values() for f in files if not os.path.exists(f)
     ]
     results.append(("manifest_files_exist", not missing, f"{len(missing)} missing files"))
     non_monotone = 0

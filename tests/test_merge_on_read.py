@@ -1,0 +1,133 @@
+"""Merge-on-read (MOR) mode: applies write only compacted delta files;
+reads and compaction LWW-fold the base+delta chain. Oracle equality,
+mode mixing, resume, and vacuum safety.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import pytest
+
+from lakecdc import manifest, oracle, synth
+from lakecdc.apply import apply_all, apply_epoch
+from lakecdc.compact import compact, vacuum
+from lakecdc.config import EngineConfig
+from lakecdc.lake import lake_files, read_lake, read_lake_local
+
+
+def make_cfg(tmp_root, **kw) -> EngineConfig:
+    cfg = EngineConfig(root=tmp_root, num_buckets=kw.pop("num_buckets", 8), **kw)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def gen(cfg, **kw):
+    kw.setdefault("n_docs", 120)
+    kw.setdefault("n_epochs", 4)
+    kw.setdefault("events_per_epoch", 400)
+    synth.write_wal(cfg.wal_dir, seed=cfg.seed, **kw)
+
+
+def test_mor_apply_matches_oracle(tmp_root):
+    cfg = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg, evolution_epoch=2, p_invalid=0.02)
+    apply_all(cfg)
+    # epochs 1+ committed as deltas (epoch 0 has no prior state -> base)
+    kinds = {rec.get("kind") for rec in manifest.snapshot(cfg).values()}
+    assert "delta" in kinds
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    # streaming read path agrees too
+    df = read_lake(cfg).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    oracle.assert_lake_equals_oracle(df, oracle.replay(cfg.wal_dir))
+
+
+def test_mor_write_amplification_is_bounded(tmp_root):
+    """The point of MOR: later epochs write O(delta), not O(partition).
+    With a small delta over a big lake, MOR's epoch files must be much
+    smaller than CoW's."""
+    cow = make_cfg(os.path.join(tmp_root, "cow"))
+    # epoch 0: a big lake (40k events over 20k docs)
+    synth.write_wal(cow.wal_dir, seed=cow.seed, n_docs=20000, n_epochs=1,
+                    events_per_epoch=40000)
+    # epoch 1: a TINY delta — one 1/100th segment of a 40k-event epoch
+    # (400 events, LSNs 40001..40400: unique and above epoch 0)
+    synth.write_segment(cow.wal_dir, 1, 0, 100, n_docs=20000,
+                        events_per_epoch=40000, seed=cow.seed)
+    mor = make_cfg(os.path.join(tmp_root, "mor"), write_mode="mor")
+    import shutil
+
+    shutil.rmtree(mor.wal_dir)
+    shutil.copytree(cow.wal_dir, mor.wal_dir)
+    apply_all(cow)
+    apply_all(mor)
+
+    def epoch1_bytes(cfg):
+        return sum(
+            os.path.getsize(f)
+            for rec in manifest.snapshot(cfg).values()
+            for f in rec["files"]
+            if rec["epoch"] == 1
+        )
+
+    assert epoch1_bytes(mor) * 5 < epoch1_bytes(cow)
+    oracle.assert_lake_equals_oracle(read_lake_local(mor), oracle.replay(mor.wal_dir))
+    oracle.assert_lake_equals_oracle(read_lake_local(cow), oracle.replay(cow.wal_dir))
+
+
+def test_mor_compact_folds_chain_and_vacuum_is_safe(tmp_root):
+    cfg = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg)
+    apply_all(cfg)
+    want = oracle.replay(cfg.wal_dir)
+    n_files_before = len(lake_files(cfg))
+    # vacuum BEFORE compaction must not delete chained delta files
+    deleted = vacuum(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), want)
+    compact(cfg)
+    vacuum(cfg)
+    assert len(lake_files(cfg)) < n_files_before  # chain folded to one base/part
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), want)
+    kinds = {rec.get("kind") for rec in manifest.snapshot(cfg).values()}
+    assert kinds == {"base"}
+
+
+def test_mixed_modes_converge(tmp_root):
+    """CoW epochs, then MOR epochs, then compact — same state as the
+    oracle throughout."""
+    cfg_cow = make_cfg(tmp_root)
+    gen(cfg_cow)
+    apply_epoch(cfg_cow, 0)
+    apply_epoch(cfg_cow, 1)
+    cfg_mor = dataclasses.replace(cfg_cow, write_mode="mor")
+    apply_epoch(cfg_mor, 2)
+    apply_epoch(cfg_mor, 3)
+    oracle.assert_lake_equals_oracle(
+        read_lake_local(cfg_mor), oracle.replay(cfg_mor.wal_dir)
+    )
+    compact(cfg_mor)
+    oracle.assert_lake_equals_oracle(
+        read_lake_local(cfg_mor), oracle.replay(cfg_mor.wal_dir)
+    )
+
+
+def test_mor_replay_idempotent(tmp_root):
+    cfg = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg, n_epochs=3)
+    apply_all(cfg)
+    files = sorted(lake_files(cfg))
+    before = {f: open(f, "rb").read() for f in files}
+    apply_all(cfg)  # full replay: no-ops
+    after = {f: open(f, "rb").read() for f in sorted(lake_files(cfg))}
+    assert before == after
+
+
+def test_mor_validate_suite(tmp_root):
+    from lakecdc.validate import validate_lake
+
+    cfg = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg)
+    apply_all(cfg)
+    results = validate_lake(cfg)
+    assert all(ok for _, ok, _ in results), results
