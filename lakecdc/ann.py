@@ -113,6 +113,67 @@ class IVFIndex:
         )
 
 
+class LSHIndex:
+    """Random-hyperplane LSH ANN: vectors bucketed by the sign pattern
+    of `n_planes` seeded random projections; a query probes its own
+    bucket plus the `nprobe` nearest buckets by Hamming distance of
+    the code. Stateful actor-pool stage like IVFIndex; approximate ->
+    rows-only check, recall asserted in tests."""
+
+    def __init__(self, ref, n_planes: int = 6, nprobe: int = 24, k: int = 5, seed: int = 42):
+        ids, Vn = ray.get(ref)
+        self.ids, self.Vn, self.k, self.nprobe = ids, Vn, k, nprobe
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, Vn.shape[1]))
+        codes = (Vn @ self.planes.T > 0) @ (1 << np.arange(n_planes))
+        self.codes = codes.astype(np.int64)
+        self.buckets: dict[int, np.ndarray] = {
+            c: np.nonzero(self.codes == c)[0] for c in np.unique(self.codes)
+        }
+        self.all_codes = np.array(sorted(self.buckets))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_n, out_s = [], [], []
+        for r in batch["qrow"].to_numpy():
+            qc = self.codes[r]
+            ham = np.array([bin(int(qc) ^ int(c)).count("1") for c in self.all_codes])
+            probe = self.all_codes[np.argsort(ham, kind="stable")[: self.nprobe]]
+            cand = np.concatenate([self.buckets[c] for c in probe])
+            cand = cand[cand != r]
+            if len(cand) == 0:
+                continue
+            sims = self.Vn[cand] @ self.Vn[r]
+            order = np.lexsort((self.ids[cand], -sims))[: self.k]
+            out_q.extend([self.ids[r]] * len(order))
+            out_n.extend(self.ids[cand[order]].tolist())
+            out_s.extend(np.floor(sims[order] * 1e6 + 0.5).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos_e6": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    ids, Vn = _matrix(sf_dir)
+    ref = ray.put((ids, Vn))
+    qrows = np.nonzero(ids < n_queries)[0]
+    ds = rd.from_arrow(pa.table({"qrow": qrows.astype(np.int64)}))
+    out = ds.map_batches(
+        LSHIndex,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return (
+        out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    )
+
+
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     ids, Vn = _matrix(sf_dir)
     ref = ray.put((ids, Vn))

@@ -69,6 +69,8 @@ QUERIES: dict[str, Callable] = {
     # --- similarity search ---
     "ann_topk": ann.ann_topk,
     "ann_ivf": ann.ann_ivf,  # approximate: rows-only
+    "ann_lsh": ann.ann_lsh,  # approximate: rows-only
+    "winnowing_fingerprints": text.winnowing_fingerprints,  # rows-only
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     # --- the engine itself ---

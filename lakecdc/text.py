@@ -120,6 +120,57 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def winnowing_fingerprints(
+    sf_dir: str, k: int = 4, window: int = 5, base: int = 257, mod: int = (1 << 61) - 1
+) -> pd.DataFrame:
+    """Rolling-hash document fingerprinting (Rabin-Karp k-grams over
+    characters + winnowing: keep each window's minimum hash). The
+    classic near-dup / provenance fingerprint for large corpora —
+    output is the per-doc sorted set of selected fingerprints, hex-
+    encoded, plus its size.
+
+    Deterministic and vectorized per document with numpy (the rolling
+    hash is computed with a cumulative power trick, no Python
+    char-loop). Rows-only (no SQL analogue).
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    basep = pow(base, k - 1, mod)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        fps, sizes = [], []
+        for text in batch["text"]:
+            b = np.frombuffer(text.encode(), dtype=np.uint8).astype(object)
+            n = len(b)
+            if n < k:
+                fps.append("")
+                sizes.append(0)
+                continue
+            # rolling Rabin-Karp over k-grams (object ints: exact mod math)
+            h = 0
+            hashes = np.empty(n - k + 1, dtype=np.uint64)
+            for i in range(k):
+                h = (h * base + int(b[i])) % mod
+            hashes[0] = h
+            for i in range(1, n - k + 1):
+                h = ((h - int(b[i - 1]) * basep) * base + int(b[i + k - 1])) % mod
+                hashes[i] = h
+            if len(hashes) <= window:
+                sel = {int(hashes.min())}
+            else:
+                view = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                sel = set(view.min(axis=1).tolist())
+            sel_sorted = sorted(sel)
+            fps.append(",".join(format(s, "x") for s in sel_sorted[:64]))
+            sizes.append(len(sel))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint": fps, "n_fingerprints": sizes}
+        )
+
+    df = ds.map_batches(f, batch_format="pandas", batch_size=512).to_pandas()
+    df["n_fingerprints"] = df["n_fingerprints"].astype("int64")
+    return df
+
+
 def fingerprint_census(sf_dir: str) -> pd.DataFrame:
     """Document fingerprinting (md5 of exact text) + distinct-count per
     source — the exact-dup census a corpus pipeline runs first.

@@ -103,6 +103,32 @@ def test_ann_ivf_recall():
     assert len(a & e) / len(e) >= 0.5  # nprobe=4/16 cells
 
 
+def test_ann_lsh_recall():
+    from lakecdc import ann
+
+    exact = ann.ann_topk(SF_DIR)
+    approx = ann.ann_lsh(SF_DIR)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(a & e) / len(e) >= 0.4  # 6 planes, nprobe=24/64 codes
+
+
+def test_winnowing_deterministic_and_sane():
+    from lakecdc import text as t
+
+    a = t.winnowing_fingerprints(SF_DIR)
+    b = t.winnowing_fingerprints(SF_DIR)
+    assert a.equals(b)  # deterministic across runs
+    assert (a["n_fingerprints"] > 0).all()
+    # identical texts -> identical fingerprints
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    m = docs.merge(a, on="doc_id")
+    groups = m.groupby("text")["fingerprint"].nunique()
+    assert (groups == 1).all()
+
+
 def test_media_decoder_stub_raises_without_stub():
     from lakecdc.multimodal import MediaDecoder
 
