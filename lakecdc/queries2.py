@@ -111,6 +111,8 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     )
     df = out.to_pandas()
     df["sum_value_cents"] = df["sum_value_cents"].astype("int64")
+    # match the oracle's microsecond timestamp precision (DuckDB TIMESTAMP)
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
     return df
 
 

@@ -20,6 +20,17 @@ def _c(x: str) -> str:
     return _C.format(x=x)
 
 
+def _s(x: str) -> str:
+    """SUM(...) pinned back to int64.
+
+    DuckDB widens SUM(BIGINT) to HUGEINT, which pandas materializes as
+    float64 and the driver's value-hash then differs from the engine's
+    int64 even when values are equal. Every oracle aggregate that can
+    widen must round-trip through this wrapper.
+    """
+    return f"CAST(SUM({x}) AS BIGINT)"
+
+
 QUERIES: dict[str, Callable] = {
     # --- filters / maps (SURVEY §2.2) ---
     "filter_project": q.filter_project,
@@ -84,9 +95,9 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25
     """,
     "regex_extract_filter": """
-        SELECT event_type, COUNT(*) AS n, SUM(k_val) AS k_sum FROM (
+        SELECT event_type, COUNT(*) AS n, CAST(SUM(k_val) AS BIGINT) AS k_sum FROM (
             SELECT event_type,
-                   CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k_val
+                   TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k_val
             FROM events)
         WHERE k_val > 50 GROUP BY event_type
     """,
@@ -101,26 +112,26 @@ ORACLES: dict[str, str] = {
                      FROM customer c LEFT JOIN ord o ON c.c_custkey=o.key
                                      LEFT JOIN ev e ON c.c_custkey=e.key)
         SELECT CAST(CASE WHEN total>0 THEN 1 ELSE 0 END AS BIGINT) AS has_money,
-               COUNT(*) AS n_candidates, SUM(total) AS total_support_cents
+               COUNT(*) AS n_candidates, CAST(SUM(total) AS BIGINT) AS total_support_cents
         FROM m GROUP BY 1
     """,
     "grouped_sum": f"""
         SELECT l_returnflag,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               SUM({_c('l_extendedprice')}) AS sum_price_cents,
-               SUM({_c('l_extendedprice * (1 - l_discount)')}) AS sum_rev_cents,
+               {_s('CAST(l_quantity AS BIGINT)')} AS sum_qty,
+               {_s(_c('l_extendedprice'))} AS sum_price_cents,
+               {_s(_c('l_extendedprice * (1 - l_discount)'))} AS sum_rev_cents,
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
     "conditional_two_sum": f"""
         SELECT user_id,
-               SUM(CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END) AS purchase_cents,
-               SUM(CASE WHEN event_type='click' THEN {_c('value')} ELSE 0 END) AS click_cents
+               {_s(f"CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END")} AS purchase_cents,
+               {_s(f"CASE WHEN event_type='click' THEN {_c('value')} ELSE 0 END")} AS click_cents
         FROM events GROUP BY user_id
     """,
     "collapse_dedup_sum": f"""
         SELECT o_custkey, o_orderstatus,
-               SUM({_c('o_totalprice')}) AS sum_total_cents, COUNT(*) AS n_orders
+               {_s(_c('o_totalprice'))} AS sum_total_cents, COUNT(*) AS n_orders
         FROM orders GROUP BY 1, 2
     """,
     "grouped_nunique": """
@@ -129,8 +140,8 @@ ORACLES: dict[str, str] = {
     """,
     "global_stats": f"""
         WITH c AS (SELECT {_c('l_extendedprice')} AS pc FROM lineitem)
-        SELECT COUNT(*) AS n, SUM(pc) AS sum_cents, MAX(pc) AS max_cents,
-               SUM(pc) // COUNT(*) AS mean_cents
+        SELECT COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS sum_cents, MAX(pc) AS max_cents,
+               CAST(SUM(pc) // COUNT(*) AS BIGINT) AS mean_cents
         FROM c
     """,
     "value_counts": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
@@ -141,26 +152,26 @@ ORACLES: dict[str, str] = {
         FROM g
     """,
     "broadcast_semi_join": f"""
-        SELECT l_suppkey, SUM({_c('l_extendedprice')}) AS sum_price_cents, COUNT(*) AS n
+        SELECT l_suppkey, {_s(_c('l_extendedprice'))} AS sum_price_cents, COUNT(*) AS n
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
         GROUP BY 1
     """,
     "broadcast_hash_join": """
-        SELECT p_brand, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+        SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
     """,
     "broadcast_left_join_attrs": f"""
-        SELECT o_custkey, SUM({_c('o_totalprice')}) AS sum_total_cents,
+        SELECT o_custkey, {_s(_c('o_totalprice'))} AS sum_total_cents,
                COUNT(*) AS n_orders, c_name, c_mktsegment
         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         GROUP BY o_custkey, c_name, c_mktsegment
     """,
     "multiway_left_join": f"""
-        WITH ord AS (SELECT o_custkey AS key, SUM({_c('o_totalprice')}) AS order_cents
+        WITH ord AS (SELECT o_custkey AS key, {_s(_c('o_totalprice'))} AS order_cents
                      FROM orders GROUP BY 1),
              ev  AS (SELECT user_id AS key,
-                            SUM(CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END) AS purchase_cents
+                            {_s(f"CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END")} AS purchase_cents
                      FROM events GROUP BY 1)
         SELECT c.c_custkey, c.c_name, c.c_mktsegment,
                COALESCE(o.order_cents, 0) AS order_cents,
@@ -202,7 +213,7 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "union_provenance": f"""
-        SELECT source_table, SUM(amount_cents) AS sum_cents, COUNT(*) AS n FROM (
+        SELECT source_table, CAST(SUM(amount_cents) AS BIGINT) AS sum_cents, COUNT(*) AS n FROM (
             SELECT 'orders' AS source_table, {_c('o_totalprice')} AS amount_cents FROM orders
             UNION ALL
             SELECT 'events' AS source_table, {_c('value')} AS amount_cents FROM events)
@@ -217,18 +228,18 @@ ORACLES: dict[str, str] = {
     """,
     "cdc_changelog_stats": """
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_deletes,
+               CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
                MAX(event_id) AS lsn_watermark
         FROM events GROUP BY 1
     """,
     "shuffle_join": f"""
         SELECT o_orderpriority,
-               SUM({_c('l_extendedprice * (1 - l_discount)')}) AS sum_rev_cents,
+               {_s(_c('l_extendedprice * (1 - l_discount)'))} AS sum_rev_cents,
                COUNT(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
     """,
     "bloom_semi_join": """
-        SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS n
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS n
         FROM lineitem
         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
         GROUP BY 1
@@ -244,7 +255,7 @@ ORACLES: dict[str, str] = {
     """,
     "tumbling_window": f"""
         SELECT user_id, date_trunc('day', ts) AS window_start,
-               SUM({_c('value')}) AS sum_value_cents, COUNT(*) AS n_events
+               {_s(_c('value'))} AS sum_value_cents, COUNT(*) AS n_events
         FROM events GROUP BY 1, 2
     """,
     "asof_join": f"""
@@ -258,7 +269,8 @@ ORACLES: dict[str, str] = {
     """,
     "token_count": """
         SELECT lang,
-               SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS total_tokens,
+               CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS BIGINT)
+                   AS total_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
     """,
