@@ -318,6 +318,10 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
             merge_group, batch_format="pyarrow"
         )
     rows = lineage_ds.take_all()  # one row per partition — metadata-sized
+    # Every touched partition is now committed: record completion so
+    # compaction can distinguish "untouched partition" from "apply
+    # crashed before committing" (lakecdc.compact guard).
+    manifest.mark_epoch_complete(cfg, epoch)
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
 

@@ -42,8 +42,8 @@ from lakecdc.schemas import LAKE_FILE_SCHEMA
 def _compact_partition(
     cfg: EngineConfig, bucket: int, files: list, watermark: int, as_epoch: int
 ) -> dict:
-    if manifest.is_committed(cfg, as_epoch, bucket):
-        return manifest.read_record(cfg, as_epoch, bucket)["lineage"]
+    if manifest.is_committed(cfg, as_epoch, bucket, compaction=True):
+        return manifest.read_record(cfg, as_epoch, bucket, compaction=True)["lineage"]
     from lakecdc.merge import last_per_key
 
     table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
@@ -51,7 +51,7 @@ def _compact_partition(
     table = last_per_key(table, key="doc_id", order="_lsn")
     dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
     live = table.filter(pc.invert(table["_deleted"]))
-    path = cfg.partition_epoch_file(bucket, as_epoch)
+    path = cfg.partition_compact_file(bucket, as_epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}"
     pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
@@ -60,6 +60,7 @@ def _compact_partition(
         "epoch": as_epoch,
         "partition": bucket,
         "kind": "base",
+        "compaction": True,
         "lsn_watermark": watermark,
         "files": [path],
         "lineage": {
@@ -79,14 +80,37 @@ def _compact_partition(
 
 def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
     """Tombstone-compact every partition, committing the rewrites as
-    epoch ``as_epoch`` (default: one past the latest committed epoch).
-    Idempotent and resumable exactly like an apply."""
+    compaction records at epoch ``as_epoch`` (default: the latest
+    committed epoch — compaction records have their own namespace and
+    supersede that epoch's apply records, so the epoch counter never
+    advances and a later WAL epoch with the next number applies
+    normally). Idempotent and resumable exactly like an apply.
+
+    Refuses to run while the WAL is ahead of the manifest (unapplied
+    epochs, or the newest epoch's apply incomplete): compacting then
+    would fold a chain that the pending apply still extends. Passing
+    ``as_epoch`` explicitly bypasses the completeness guard (caller
+    asserts the chain is final up to that epoch).
+    """
+    from lakecdc import wal
+
     view = manifest.partition_view(cfg)
     snap = manifest.snapshot(cfg)
     if not view:
         return {}
     if as_epoch is None:
-        as_epoch = manifest.resume_point(cfg) + 1
+        done = manifest.resume_point(cfg)
+        pending = [e for e in wal.list_epochs(cfg) if e > done]
+        if pending:
+            raise RuntimeError(
+                f"cannot compact: WAL epochs {pending} not yet applied; run apply first"
+            )
+        if not manifest.epoch_complete(cfg, done):
+            raise RuntimeError(
+                f"cannot compact: apply of epoch {done} did not run to completion; "
+                "re-run apply first"
+            )
+        as_epoch = done
     futures = {
         b: _compact_partition.remote(
             cfg, b, files, snap[b]["lsn_watermark"], as_epoch

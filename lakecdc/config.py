@@ -76,6 +76,14 @@ class EngineConfig:
             self.partition_dir(bucket), f"epoch={epoch:09d}", "data.parquet"
         )
 
+    def partition_compact_file(self, bucket: int, epoch: int) -> str:
+        # Compaction output is a distinct file so it never overwrites
+        # the same epoch's apply output (compaction commits at the
+        # epoch of the last record it folds; see lakecdc.compact).
+        return os.path.join(
+            self.partition_dir(bucket), f"epoch={epoch:09d}", "compact.parquet"
+        )
+
     def ensure_dirs(self) -> None:
         for d in (self.lake_dir, self.wal_dir, self.manifest_dir, self.lineage_dir):
             os.makedirs(d, exist_ok=True)

@@ -137,8 +137,11 @@ def apply_epochs_direct(
     if G == 1:
         map_out = [[r] for r in map_out]
 
-    snap = manifest.snapshot(cfg, up_to_epoch=epochs[0] - 1)
-    prev = {p: rec["files"] for p, rec in snap.items()}
+    # The prior lake view is the base+delta file CHAIN per partition
+    # (partition_view), not just the latest record: over a
+    # merge-on-read lake the newest record is only a delta, and a CoW
+    # merge seeded from it alone would silently drop all older rows.
+    prev = manifest.partition_view(cfg, up_to_epoch=epochs[0] - 1)
     reduce_out = [
         _reduce_bucket.remote(
             cfg, epoch, b, prev.get(b), *[refs[b // per] for refs in map_out]
@@ -146,6 +149,7 @@ def apply_epochs_direct(
         for b in range(B)
     ]
     records = [r for r in ray.get(reduce_out) if r is not None]
+    manifest.mark_epoch_complete(cfg, epoch)
     from lakecdc.apply import _lineage_row
 
     if not records:

@@ -65,5 +65,15 @@ def write_rollup(cfg: EngineConfig) -> str:
 def live_row_total(cfg: EngineConfig) -> int:
     """Sum of live rows across the current snapshot's partitions —
     must equal the lake's row count (partition-disjointness invariant,
-    the `final + no_support = all` analogue)."""
-    return sum(r.get("lineage", {}).get("rows_live", 0) for r in snapshot(cfg).values())
+    the `final + no_support = all` analogue).
+
+    A merge-on-read delta record's ``rows_live`` counts only the
+    delta's rows, so when any partition's latest record is a delta the
+    metadata sum is wrong — fall back to folding the chain and
+    counting (maintenance-path cost, correct answer)."""
+    snap = snapshot(cfg)
+    if any(r.get("kind") == "delta" for r in snap.values()):
+        from lakecdc.lake import read_lake_local
+
+        return len(read_lake_local(cfg))
+    return sum(r.get("lineage", {}).get("rows_live", 0) for r in snap.values())

@@ -32,9 +32,20 @@ from typing import Any
 from lakecdc.config import EngineConfig
 
 
-def _record_path(cfg: EngineConfig, epoch: int, partition: int) -> str:
+def _record_path(
+    cfg: EngineConfig, epoch: int, partition: int, compaction: bool = False
+) -> str:
+    # Compaction commits live in a DISJOINT record namespace
+    # (`compact-…` vs `part-…`) at the SAME epoch as the last record
+    # they fold. An apply of WAL epoch N therefore never collides with
+    # a compaction commit: merge_and_commit's idempotence check looks
+    # only at `part-…` records, and resume_point/--follow polling see
+    # no phantom epoch. Within one epoch, a compaction record
+    # supersedes the apply records it folded (see snapshot /
+    # partition_view ordering).
+    prefix = "compact" if compaction else "part"
     return os.path.join(
-        cfg.manifest_dir, f"epoch={epoch:09d}", f"part-{partition:05d}.json"
+        cfg.manifest_dir, f"epoch={epoch:09d}", f"{prefix}-{partition:05d}.json"
     )
 
 
@@ -42,7 +53,12 @@ def commit(cfg: EngineConfig, record: dict[str, Any]) -> bool:
     """Atomically commit one (epoch, partition) record. Returns True if
     this call created the record, False if it already existed (the
     idempotent re-commit path)."""
-    path = _record_path(cfg, record["epoch"], record["partition"])
+    path = _record_path(
+        cfg,
+        record["epoch"],
+        record["partition"],
+        compaction=bool(record.get("compaction")),
+    )
     if os.path.exists(path):
         return False
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -55,16 +71,43 @@ def commit(cfg: EngineConfig, record: dict[str, Any]) -> bool:
     return True
 
 
-def read_record(cfg: EngineConfig, epoch: int, partition: int) -> dict | None:
-    path = _record_path(cfg, epoch, partition)
+def read_record(
+    cfg: EngineConfig, epoch: int, partition: int, compaction: bool = False
+) -> dict | None:
+    path = _record_path(cfg, epoch, partition, compaction)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
 
 
-def is_committed(cfg: EngineConfig, epoch: int, partition: int) -> bool:
-    return os.path.exists(_record_path(cfg, epoch, partition))
+def is_committed(
+    cfg: EngineConfig, epoch: int, partition: int, compaction: bool = False
+) -> bool:
+    return os.path.exists(_record_path(cfg, epoch, partition, compaction))
+
+
+def mark_epoch_complete(cfg: EngineConfig, epoch: int) -> None:
+    """Record that an apply of this WAL epoch ran to completion (every
+    touched partition committed). Compaction requires this marker: a
+    partition with no commit record at epoch N is indistinguishable
+    from one whose apply crashed before committing, except by this
+    marker, and compacting a partially-applied epoch would fold a
+    chain that later grows."""
+    path = os.path.join(cfg.manifest_dir, f"epoch={epoch:09d}", "_complete.json")
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch}, f)
+    os.replace(tmp, path)
+
+
+def epoch_complete(cfg: EngineConfig, epoch: int) -> bool:
+    return os.path.exists(
+        os.path.join(cfg.manifest_dir, f"epoch={epoch:09d}", "_complete.json")
+    )
 
 
 def committed_partitions(cfg: EngineConfig, epoch: int) -> set[int]:
@@ -80,10 +123,13 @@ def snapshot(cfg: EngineConfig, up_to_epoch: int | None = None) -> dict[int, dic
         epoch = int(os.path.basename(edir).split("=")[1])
         if up_to_epoch is not None and epoch > up_to_epoch:
             continue
-        for p in glob.glob(os.path.join(edir, "part-*.json")):
-            partition = int(os.path.basename(p).split("-")[1].split(".")[0])
-            with open(p) as f:
-                latest[partition] = json.load(f)  # epochs scanned ascending
+        # apply records first, then compaction records: within an epoch
+        # a compaction supersedes the apply records it folded
+        for pattern in ("part-*.json", "compact-*.json"):
+            for p in glob.glob(os.path.join(edir, pattern)):
+                partition = int(os.path.basename(p).split("-")[1].split(".")[0])
+                with open(p) as f:
+                    latest[partition] = json.load(f)  # epochs scanned ascending
     return latest
 
 
@@ -103,23 +149,26 @@ def partition_view(
     Records without a `kind` field are bases (copy-on-write history).
     LWW-merging the chain (last_per_key by _lsn) yields the partition.
     """
-    chains: dict[int, list[tuple[int, str, list[str]]]] = {}
+    chains: dict[int, list[tuple[int, int, str, list[str]]]] = {}
     for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
         epoch = int(os.path.basename(edir).split("=")[1])
         if up_to_epoch is not None and epoch > up_to_epoch:
             continue
-        for p in glob.glob(os.path.join(edir, "part-*.json")):
-            partition = int(os.path.basename(p).split("-")[1].split(".")[0])
-            with open(p) as f:
-                rec = json.load(f)
-            chains.setdefault(partition, []).append(
-                (epoch, rec.get("kind", "base"), rec["files"])
-            )
+        # order=1 sorts a compaction record after the same epoch's
+        # apply records: it folded them, so it supersedes them
+        for order, pattern in ((0, "part-*.json"), (1, "compact-*.json")):
+            for p in glob.glob(os.path.join(edir, pattern)):
+                partition = int(os.path.basename(p).split("-")[1].split(".")[0])
+                with open(p) as f:
+                    rec = json.load(f)
+                chains.setdefault(partition, []).append(
+                    (epoch, order, rec.get("kind", "base"), rec["files"])
+                )
     view: dict[int, list[str]] = {}
     for partition, entries in chains.items():
         entries.sort()
         files: list[str] = []
-        for _, kind, fs in entries:
+        for _, _, kind, fs in entries:
             if kind == "base":
                 files = list(fs)  # a base supersedes everything before it
             else:

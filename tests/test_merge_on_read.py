@@ -123,6 +123,75 @@ def test_mor_replay_idempotent(tmp_root):
     assert before == after
 
 
+def test_direct_exchange_over_mor_chain(tmp_root):
+    """A CoW apply via the direct exchange over a lake whose partitions
+    are merge-on-read base+delta chains must fold the WHOLE chain, not
+    just each partition's newest delta record (regression: the exchange
+    seeded its merge from manifest.snapshot, silently dropping all
+    pre-delta rows)."""
+    from lakecdc.exchange import apply_epochs_direct
+
+    cfg_mor = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg_mor, n_epochs=3)
+    apply_epoch(cfg_mor, 0)
+    apply_epoch(cfg_mor, 1)  # partitions now base+delta chains
+    kinds = {rec.get("kind") for rec in manifest.snapshot(cfg_mor).values()}
+    assert "delta" in kinds
+    cfg_cow = dataclasses.replace(cfg_mor, write_mode="cow")
+    apply_epochs_direct(cfg_cow, [2])
+    oracle.assert_lake_equals_oracle(
+        read_lake_local(cfg_cow), oracle.replay(cfg_cow.wal_dir)
+    )
+
+
+def _staged_wal(tmp_root, cfg, **kw):
+    """Write the full WAL into a staging dir; epochs are moved into
+    cfg.wal_dir by the caller to simulate arrival over time."""
+    import shutil
+
+    staging = os.path.join(tmp_root, "wal_staging")
+    synth.write_wal(staging, seed=cfg.seed, **kw)
+    def arrive(epoch: int) -> None:
+        name = f"epoch={epoch:09d}"
+        shutil.move(os.path.join(staging, name), os.path.join(cfg.wal_dir, name))
+    return arrive
+
+
+def test_compact_then_later_wal_epochs_apply(tmp_root):
+    """WAL epochs that arrive AFTER a compaction must still apply: a
+    compaction commit lives in its own record namespace at the folded
+    epoch, so it can never be mistaken for the apply of the next WAL
+    epoch (regression: compact() committed at resume_point()+1, and a
+    later apply of that WAL epoch silently no-opped every partition)."""
+    for mode in ("cow", "mor"):
+        cfg = make_cfg(os.path.join(tmp_root, mode), write_mode=mode)
+        arrive = _staged_wal(
+            os.path.join(tmp_root, mode), cfg,
+            n_docs=120, n_epochs=4, events_per_epoch=400,
+        )
+        arrive(0)
+        arrive(1)
+        apply_all(cfg)
+        compact(cfg)
+        done_after_compact = manifest.resume_point(cfg)
+        arrive(2)
+        arrive(3)
+        # the exact scenario of a --follow poll: epochs > resume_point
+        assert [e for e in (2, 3) if e > done_after_compact] == [2, 3]
+        apply_all(cfg)
+        oracle.assert_lake_equals_oracle(
+            read_lake_local(cfg), oracle.replay(cfg.wal_dir)
+        )
+
+
+def test_compact_refuses_unapplied_wal(tmp_root):
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3)
+    apply_all(cfg, max_epoch=1)
+    with pytest.raises(RuntimeError, match="not yet applied"):
+        compact(cfg)
+
+
 def test_mor_validate_suite(tmp_root):
     from lakecdc.validate import validate_lake
 
