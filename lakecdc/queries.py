@@ -8,6 +8,7 @@ and in the oracle SQL (driver compares sorted-by-name value hashes).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -114,7 +115,7 @@ def grouped_sum(sf_dir: str) -> pd.DataFrame:
                 "sum_qty": qty,
                 "sum_price_cents": price_c,
                 "sum_rev_cents": rev_c,
-                "n_rows": pa.array([1] * t.num_rows, type=pa.int64()),
+                "n_rows": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         ).group_by("l_returnflag").aggregate(
             [
@@ -646,10 +647,17 @@ def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
     """
     ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
 
+    # Group by a derived BUCKET, not the raw key: one vectorized
+    # last_per_key call over a whole bucket of keys instead of one tiny
+    # pandas task per key (the priority_dedup shape).
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int64())
+        return t.append_column("bucket", b)
+
     def lww(g: pa.Table) -> pa.Table:
         from lakecdc.merge import last_per_key
 
-        last = last_per_key(g, key="user_id", order="event_id")
+        last = last_per_key(g.drop_columns(["bucket"]), key="user_id", order="event_id")
         live = last.filter(pc.not_equal(last["event_type"], "error"))
         return pa.table(
             {
@@ -660,7 +668,11 @@ def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.groupby("user_id").map_groups(lww, batch_format="pyarrow")
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(lww, batch_format="pyarrow")
+    )
     return out.to_pandas()
 
 
@@ -675,7 +687,7 @@ def cdc_changelog_stats(sf_dir: str) -> pd.DataFrame:
         tbl = pa.table(
             {
                 "user_id": t["user_id"],
-                "n_events": pa.array([1] * t.num_rows, type=pa.int64()),
+                "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
                 "n_deletes": d,
                 "lsn_watermark": t["event_id"],
             }

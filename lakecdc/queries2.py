@@ -138,30 +138,53 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
     orders_dedup = orders_sorted.drop_duplicates(
         ["o_custkey", "o_orderdate"], keep="last"
     )
-    oref = ray.put(orders_dedup)
+    # Bucket BOTH sides by hash(key) % P (the priority_dedup pattern):
+    # one vectorized merge_asof(by=key) per bucket, not one tiny pandas
+    # task + full-orders scan per key. The small side is pre-split by
+    # bucket on the driver and broadcast once.
+    P = 32
+    orders_dedup = orders_dedup.assign(
+        bucket=(orders_dedup["o_custkey"] % P).astype("int64")
+    )
+    by_bucket = {
+        int(b): g.drop(columns=["bucket"]).sort_values(["o_orderdate", "o_custkey"])
+        for b, g in orders_dedup.groupby("bucket")
+    }
+    oref = ray.put(by_bucket)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        odf = ray.get(oref)
-        key = g["user_id"].iloc[0]
-        right = odf[odf["o_custkey"] == key]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return t.append_column(
+            "bucket", pc2.cast(pc2.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "order_cents": pd.Series(dtype="int64"),
+        }
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(oref).get(int(g["bucket"].iloc[0]))
+        if right is None:
+            return _EMPTY
         g = g.sort_values("ts")
         m = pd.merge_asof(
             g,
-            right.sort_values("o_orderdate"),
+            right,
             left_on="ts",
             right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
             direction="backward",
         )
         m = m.dropna(subset=["o_orderkey"])
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype="int64"),
-                    "user_id": pd.Series(dtype="int64"),
-                    "o_orderkey": pd.Series(dtype="int64"),
-                    "order_cents": pd.Series(dtype="int64"),
-                }
-            )
+            return _EMPTY
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
@@ -171,7 +194,11 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ev.groupby("user_id").map_groups(per_key, batch_format="pandas")
+    out = (
+        ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
     return out.to_pandas()
 
 
@@ -221,7 +248,7 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
 
     big = part.filter(pc2.greater(part["p_size"], 25))["p_partkey"].to_numpy()
     bloom = _Bloom(big)
-    exact = frozenset(int(x) for x in big)
+    exact = np.sort(big)
     ref = ray.put((bloom, exact))
 
     ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
@@ -232,8 +259,8 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
         cand = bloom.maybe_contains(keys)  # cheap vectorized prefilter
         t = t.filter(pa.array(cand))
         keys = t["l_partkey"].to_numpy()
-        ok = np.fromiter((int(k) in exact for k in keys), bool, len(keys))
-        t = t.filter(pa.array(ok))  # exact verify of survivors
+        ok = np.isin(keys, exact)  # exact verify of survivors, vectorized
+        t = t.filter(pa.array(ok))
         return pa.table(
             {
                 "l_partkey": t["l_partkey"],
@@ -251,17 +278,25 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     return df
 
 
-def sampled_stats(sf_dir: str, fraction: float = 0.05) -> pd.DataFrame:
-    """O5 sampling (seeded): random_sample + aggregate. Statistical by
-    nature -> rows-only check; determinism within one Ray version only,
-    so the test asserts bounds, not values."""
-    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
-    s = ds.random_sample(fraction, seed=42)
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
 
-    def to_cents(t: pa.Table) -> pa.Table:
+
+def sampled_stats(sf_dir: str, pct: int = 5) -> pd.DataFrame:
+    """O5 sampling via a DETERMINISTIC hash predicate: keep rows where
+    hash(l_orderkey*8 + l_linenumber) lands in the first `pct`% of
+    residues. Same uniform-sample behavior as random_sample at scale
+    (the hash whitens the key), but reproducible across runs and
+    engines — so the oracle can check it exactly, and a resumed
+    pipeline re-selects the identical rows."""
+    ds = read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy() * 8 + t["l_linenumber"].to_numpy()
+        keep = (key * _SAMPLE_MULT) % 1000 < pct * 10
+        t = t.filter(pa.array(keep))
         return pa.table({"price_cents": cents(t["l_extendedprice"])})
 
-    agg = s.map_batches(to_cents, batch_format="pyarrow").aggregate(
+    agg = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).aggregate(
         Sum("price_cents", alias_name="sum_cents"), Count(alias_name="n")
     )
     return pd.DataFrame([{"n": int(agg["n"]), "sum_cents": int(agg["sum_cents"])}])

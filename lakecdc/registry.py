@@ -66,7 +66,7 @@ QUERIES: dict[str, Callable] = {
     "quantiles": q2.quantiles,
     "tumbling_window": q2.tumbling_window,
     "asof_join": q2.asof_join,
-    "sampled_stats": q2.sampled_stats,  # statistical: rows-only
+    "sampled_stats": q2.sampled_stats,  # deterministic hash-predicate sample
     # --- text analysis ---
     "token_count": text.token_count,
     "quality_score": text.quality_score,
@@ -266,6 +266,11 @@ ORACLES: dict[str, str] = {
             QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
                                        ORDER BY o_orderkey DESC) = 1) o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "sampled_stats": f"""
+        SELECT COUNT(*) AS n, {_s(_c('l_extendedprice'))} AS sum_cents
+        FROM lineitem
+        WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000 < 50
     """,
     "token_count": """
         SELECT lang,

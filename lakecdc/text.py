@@ -120,47 +120,57 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
-def winnowing_fingerprints(
-    sf_dir: str, k: int = 4, window: int = 5, base: int = 257, mod: int = (1 << 61) - 1
-) -> pd.DataFrame:
-    """Rolling-hash document fingerprinting (Rabin-Karp k-grams over
-    characters + winnowing: keep each window's minimum hash). The
-    classic near-dup / provenance fingerprint for large corpora —
-    output is the per-doc sorted set of selected fingerprints, hex-
-    encoded, plus its size.
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: whitens a polynomial hash so the
+    winnowing minimum is uniform across grams (vectorized uint64,
+    wraparound arithmetic is the modulus)."""
+    h = h ^ (h >> np.uint64(30))
+    h = h * np.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> np.uint64(27))
+    h = h * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
 
-    Deterministic and vectorized per document with numpy (the rolling
-    hash is computed with a cumulative power trick, no Python
-    char-loop). Rows-only (no SQL analogue).
+
+def winnowing_fingerprints(
+    sf_dir: str, k: int = 4, window: int = 5, base: int = 1099511628211
+) -> pd.DataFrame:
+    """Rolling-hash document fingerprinting (polynomial k-gram hashes
+    over characters + winnowing: keep each window's minimum hash). The
+    classic near-dup / provenance fingerprint for large corpora —
+    output is the FULL per-doc sorted set of selected fingerprints,
+    hex-encoded, plus its size (n_fingerprints == the emitted count).
+
+    Fully vectorized per document: the k-gram hash is k shifted
+    vector multiply-adds over the byte array (uint64 wraparound +
+    splitmix64 finalizer — no per-character Python loop), the window
+    minimum is window-1 vectorized np.minimum reductions. Rows-only
+    (no SQL analogue).
     """
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    basep = pow(base, k - 1, mod)
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         fps, sizes = [], []
+        ubase = np.uint64(base)
         for text in batch["text"]:
-            b = np.frombuffer(text.encode(), dtype=np.uint8).astype(object)
-            n = len(b)
-            if n < k:
+            b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+            m = len(b) - k + 1
+            if m < 1:
                 fps.append("")
                 sizes.append(0)
                 continue
-            # rolling Rabin-Karp over k-grams (object ints: exact mod math)
-            h = 0
-            hashes = np.empty(n - k + 1, dtype=np.uint64)
-            for i in range(k):
-                h = (h * base + int(b[i])) % mod
-            hashes[0] = h
-            for i in range(1, n - k + 1):
-                h = ((h - int(b[i - 1]) * basep) * base + int(b[i + k - 1])) % mod
-                hashes[i] = h
-            if len(hashes) <= window:
-                sel = {int(hashes.min())}
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):  # k tiny, each step vectorized over all grams
+                h = h * ubase + b[j : j + m]
+            h = _mix64(h)
+            if m <= window:
+                sel = h.min(keepdims=True)
             else:
-                view = np.lib.stride_tricks.sliding_window_view(hashes, window)
-                sel = set(view.min(axis=1).tolist())
-            sel_sorted = sorted(sel)
-            fps.append(",".join(format(s, "x") for s in sel_sorted[:64]))
+                w = h[: m - window + 1].copy()
+                for j in range(1, window):  # window-1 vectorized mins
+                    np.minimum(w, h[j : j + m - window + 1], out=w)
+                sel = w
+            sel = np.unique(sel)
+            fps.append(",".join(format(s, "x") for s in sel.tolist()))
             sizes.append(len(sel))
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "fingerprint": fps, "n_fingerprints": sizes}
@@ -183,16 +193,26 @@ def fingerprint_census(sf_dir: str) -> pd.DataFrame:
 
     hashed = ds.map_batches(f, batch_format="pyarrow")
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # Two-level aggregate: (source, fp) counts first — the shuffle key
+    # has fp cardinality, so no task ever holds a whole source (an
+    # unbounded group on a low-cardinality key at 100 TB) — then a
+    # tiny per-source roll-up.
+    per_fp = hashed.groupby(["source", "fp"]).aggregate(Count(alias_name="n"))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "source": [g["source"].iloc[0]],
-                "n_docs": [len(g)],
-                "n_distinct_fp": [g["fp"].nunique()],
+                "source": t["source"],
+                "n": pc.cast(t["n"], pa.int64()),
             }
         )
 
-    df = hashed.groupby("source").map_groups(per_source, batch_format="pandas").to_pandas()
+    df = (
+        per_fp.map_batches(shape, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"), Count(alias_name="n_distinct_fp"))
+        .to_pandas()
+    )
     for c in ["n_docs", "n_distinct_fp"]:
         df[c] = df[c].astype("int64")
     return df
