@@ -37,6 +37,23 @@ def _stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
+def _hash_str_array(a: np.ndarray) -> np.ndarray:
+    """Vectorized deterministic string->uint64 (C-speed SipHash via
+    pandas, fixed key — stable across runs and processes)."""
+    return pd.util.hash_array(a, hash_key="0123456789123456")
+
+
+def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch into one flat object array + per-doc lengths +
+    reduceat offsets (clipped so trailing empty docs stay in bounds)."""
+    toks = texts.str.strip().str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.array([t for ts in toks for t in ts], dtype=object)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.zeros(0, np.int64)
+    offsets = np.minimum(offsets, max(len(flat) - 1, 0))
+    return flat, lens, offsets.astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Exact token-set Jaccard (the SQL-checkable ground truth)
 # ---------------------------------------------------------------------------
@@ -98,28 +115,74 @@ def jaccard_dupes(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 class MinHasher:
     """Stateful actor-pool stage: the permutation parameters are drawn
     once per actor in __init__ (seeded — identical across actors);
-    __call__ min-hashes a batch vectorized."""
+    __call__ min-hashes a whole batch with numpy only: unique tokens
+    hashed once (vectorized SipHash), one (U, P) permutation matrix,
+    per-doc column minima via np.minimum.reduceat. Duplicate tokens
+    within a doc don't change a minimum, so no per-doc set-building.
 
-    def __init__(self, num_perm: int = 64, seed: int = 42):
+    With ``bands`` set the actor also folds the signature into LSH
+    band rows in the same task (vectorized reshape + mix), so the
+    (D, P) signature matrix never crosses a stage boundary."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, bands: int | None = None):
         rng = np.random.default_rng(seed)
         self.num_perm = num_perm
+        self.bands = bands
         self.p = np.uint64((1 << 61) - 1)
         self.a = rng.integers(1, self.p, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, self.p, size=num_perm, dtype=np.uint64)
 
-    def signature(self, tokens: set[str]) -> np.ndarray:
-        if not tokens:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        hv = np.array([_stable_u64(t) for t in sorted(tokens)], dtype=np.uint64)
-        # (T, P) permuted hashes -> column mins
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        flat, lens, offsets = _flat_tokens(texts)
+        umax = np.iinfo(np.uint64).max
+        if len(flat) == 0:
+            return np.full((len(texts), self.num_perm), umax, dtype=np.uint64)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hv = _hash_str_array(uniq)
         perm = (hv[:, None] * self.a[None, :] + self.b[None, :]) % self.p
-        return perm.min(axis=0)
+        sig = np.minimum.reduceat(perm[inv], offsets, axis=0)
+        sig[lens == 0] = umax  # reduceat repeats neighbors on empty segments
+        return sig
+
+    def fold_bands(self, doc_ids: np.ndarray, sig: np.ndarray) -> pd.DataFrame:
+        from lakecdc.text import _mix64
+
+        bands = self.bands
+        rows_per_band = self.num_perm // bands
+        d = len(doc_ids)
+        s3 = sig.reshape(d, bands, rows_per_band)
+        bh = np.zeros((d, bands), dtype=np.uint64)
+        for j in range(rows_per_band):  # few iterations, each vectorized
+            bh = _mix64(bh * np.uint64(0x9E3779B97F4A7C15) + s3[:, :, j])
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(bands, dtype=np.int64), d),
+                "band_hash": bh.reshape(-1),
+                "doc_id": np.repeat(doc_ids, bands),
+            }
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(s) for s in _token_sets(batch["text"])]
-        batch = batch[["doc_id"]].copy()
-        batch["sig"] = [s.tolist() for s in sigs]
-        return batch
+        sig = self.signatures(batch["text"])
+        if self.bands is None:
+            out = batch[["doc_id"]].copy()
+            out["sig"] = list(sig)
+            return out
+        return self.fold_bands(batch["doc_id"].to_numpy(), sig)
+
+
+_MH_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def _mh_cached(num_perm: int, seed: int = 42, bands: int | None = None) -> "MinHasher":
+    key = (num_perm, seed, bands)
+    if key not in _MH_CACHE:
+        _MH_CACHE[key] = MinHasher(num_perm, seed, bands)
+    return _MH_CACHE[key]
+
+
+def _minhash_sig_batch(batch: pd.DataFrame, num_perm: int) -> pd.DataFrame:
+    return _mh_cached(num_perm)(batch)
 
 
 def minhash_lsh_pairs(
@@ -133,58 +196,47 @@ def minhash_lsh_pairs(
     exact token-set Jaccard. Output (doc_a, doc_b, jaccard_e6) for
     verified pairs >= threshold.
 
-    Shape: minhash per batch (actor pool) -> flat_map to (band,
-    band_hash, doc_id) -> groupby band bucket -> pairs within bucket
-    -> exact verify. The shuffle moves only (band_hash, doc_id) rows —
-    numbers, not text; text for verification is fetched via a
-    broadcast token-set map (documents are small-side here; at 100 TB
-    the verify joins back to the docs by key range instead).
+    Shape: minhash per batch (actor pool, fully vectorized) ->
+    reshape/repeat to (band, band_hash, doc_id) rows -> groupby band
+    bucket -> candidate pairs within bucket -> exact verify. The
+    shuffle moves only (band_hash, doc_id) rows — numbers, not text —
+    and verification touches ONLY the candidate docs' token hashes
+    (a second pruned pass over `documents`), never a whole-corpus
+    matrix: the structure shipped to the verify stage is
+    O(candidate-doc tokens), which is output-scale, not corpus-scale.
     """
-    rows_per_band = num_perm // bands
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                          batch_format="pandas", batch_size=1024, concurrency=2)
+    # Signatures computed once and REUSED twice: (a) folded into band
+    # rows for candidate generation, (b) as the cheap similarity
+    # estimator that prunes candidates before exact verification.
+    # Task pool, not actor pool: the per-worker state (permutation
+    # params) costs microseconds to build and is cached per process
+    # (_mh_cached), so tasks fuse with the read and skip actor startup.
+    sigs = ds.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs={"num_perm": num_perm},
+        batch_format="pandas",
+        batch_size=512,
+    ).materialize()
+    band_fold = MinHasher(num_perm=num_perm, bands=bands)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc, sig in zip(batch["doc_id"], batch["sig"]):
-            s = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
-            for b in range(bands):
-                out_band.append(b)
-                out_hash.append(int(hashlib.md5(s[b].tobytes()).hexdigest()[:16], 16))
-                out_doc.append(doc)
-        return pd.DataFrame({"band": out_band, "band_hash": out_hash, "doc_id": out_doc})
+        sig = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+        return band_fold.fold_bands(batch["doc_id"].to_numpy(), sig)
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
-
-    # Broadcast the doc->token-set binary matrix for exact, VECTORIZED
-    # verification of candidates (one matmul per bucket, no Python pair
-    # loop). At 100 TB the matrix is sharded by doc key range and the
-    # verify joins candidates back to their shard.
-    docs = read_small(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
-    sets = _token_sets(docs["text"])
-    vocab = sorted(set().union(*sets)) if sets else []
-    vidx = {w: i for i, w in enumerate(vocab)}
-    M = np.zeros((len(docs), max(len(vocab), 1)), dtype=np.int32)
-    for i, s in enumerate(sets):
-        for w in s:
-            M[i, vidx[w]] = 1
-    row_of = dict(zip(docs["doc_id"].tolist(), range(len(docs))))
-    verify_ref = ray.put((M, M.sum(axis=1), row_of))
 
     _empty = pd.DataFrame(
         {
             "doc_a": pd.Series(dtype="int64"),
             "doc_b": pd.Series(dtype="int64"),
-            "jaccard_e6": pd.Series(dtype="int64"),
         }
     )
 
     # Shuffle buckets into a FIXED number of partitions (hash of the
-    # bucket key), then do the per-partition candidate self-join and
-    # exact verify fully vectorized — group count stays O(partitions),
-    # not O(distinct band hashes), so tiny-group map_groups overhead
-    # can't dominate at scale.
+    # bucket key), then do the per-partition candidate self-join —
+    # group count stays O(partitions), not O(distinct band hashes), so
+    # tiny-group map_groups overhead can't dominate at scale.
     n_parts = 32
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
@@ -206,23 +258,11 @@ def minhash_lsh_pairs(
         if g.empty:
             return _empty
         m = g.merge(g, on=["band", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]].drop_duplicates(
-            ["doc_id_x", "doc_id_y"]
-        )
-        if m.empty:
-            return _empty
-        M, sizes, row_of = ray.get(verify_ref)
-        ra = np.array([row_of[d] for d in m["doc_id_x"]])
-        rb = np.array([row_of[d] for d in m["doc_id_y"]])
-        inter = (M[ra] & M[rb]).sum(axis=1)
-        union = sizes[ra] + sizes[rb] - inter
-        jac = inter / np.maximum(union, 1)
-        keep = jac >= threshold
+        m = m[m["doc_id_x"] < m["doc_id_y"]].drop_duplicates(["doc_id_x", "doc_id_y"])
         return pd.DataFrame(
             {
-                "doc_a": m["doc_id_x"].to_numpy()[keep],
-                "doc_b": m["doc_id_y"].to_numpy()[keep],
-                "jaccard_e6": np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64),
+                "doc_a": m["doc_id_x"].astype("int64"),
+                "doc_b": m["doc_id_y"].astype("int64"),
             }
         )
 
@@ -230,15 +270,102 @@ def minhash_lsh_pairs(
         buckets.map_batches(add_part, batch_format="pandas")
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
-    df = cand.to_pandas()
+    empty_out = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard_e6": pd.Series(dtype="int64"),
+        }
+    )
+    if cand.empty:
+        return empty_out
+
+    # Verification, one distributed pass over candidate pairs, two
+    # phases inside each batch:
+    #   (a) estimate-prune — a 4-rows/band banding admits plenty of
+    #       mid-similarity pairs; estimate each candidate's Jaccard
+    #       from minhash-signature agreement (unbiased, std
+    #       sqrt(s(1-s)/P) ≈ 0.04 at s=0.9 with 64 perms) and keep
+    #       only est >= threshold - 0.15 (>3.5σ), one vectorized
+    #       (C, P) equality per batch;
+    #   (b) exact verify of the est-survivors via numpy set
+    #       intersections of the docs' token hashes.
+    # Both broadcast structures are CANDIDATE-scale: the signature
+    # matrix is ~0.5 KB/doc and the token sets cover candidate docs
+    # only (second pruned read of `documents`; at 100 TB both become
+    # key-range joins instead of broadcasts). Nothing O(N·V) exists.
+    cand_ids = np.unique(
+        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
+    )
+    ids_ref = ray.put(np.sort(cand_ids))
+
+    def tok_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        b = batch[np.isin(batch["doc_id"].to_numpy(), ids)]
+        toks = [
+            np.unique(_hash_str_array(np.array(t.strip().split(), dtype=object)))
+            for t in b["text"]
+        ]
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "toks": toks})
+
+    tok_tbl = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok_sets, batch_format="pandas")
+        .to_pandas()
+    )
+    tok_ref = ray.put(dict(zip(tok_tbl["doc_id"], tok_tbl["toks"])))
+
+    sig_tbl = sigs.to_pandas()
+    keep_sig = np.isin(sig_tbl["doc_id"].to_numpy(), np.sort(cand_ids))
+    sig_tbl = sig_tbl[keep_sig].reset_index(drop=True)
+    sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_tbl["sig"]])
+    sig_ref = ray.put(
+        (
+            sig_mat,
+            pd.Series(
+                np.arange(len(sig_tbl), dtype=np.int64),
+                index=sig_tbl["doc_id"].to_numpy(),
+            ),
+        )
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sig_mat, row_of = ray.get(sig_ref)
+        ra = batch["doc_a"].map(row_of).to_numpy()
+        rb = batch["doc_b"].map(row_of).to_numpy()
+        est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+        batch = batch[est >= threshold - 0.15]
+        tokmap = ray.get(tok_ref)
+        ta = [tokmap[d] for d in batch["doc_a"]]
+        tb = [tokmap[d] for d in batch["doc_b"]]
+        inter = np.array(
+            [len(np.intersect1d(x, y, assume_unique=True)) for x, y in zip(ta, tb)],
+            dtype=np.int64,
+        )
+        union = np.array([len(x) + len(y) for x, y in zip(ta, tb)], dtype=np.int64) - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy()[keep],
+                "doc_b": batch["doc_b"].to_numpy()[keep],
+                "jaccard_e6": np.floor(jac[keep] * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    n_chunks = min(32, max(1, len(cand) // 4096))
+    df = (
+        rd.from_pandas([c for c in np.array_split(cand, n_chunks) if len(c)])
+        .map_batches(verify, batch_format="pandas", batch_size=16384)
+        .to_pandas()
+    )
     if df.empty:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "jaccard_e6": pd.Series(dtype="int64")})
-    df = df.drop_duplicates(["doc_a", "doc_b"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "jaccard_e6": "int64"}
-    )
+        return empty_out
+    df = df.astype({"doc_a": "int64", "doc_b": "int64", "jaccard_e6": "int64"})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -247,28 +374,31 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """64-bit SimHash per document over token hashes — deterministic,
-    vectorized per batch. Output (doc_id, simhash) with simhash as a
-    16-hex string (stable across engines)."""
+    """64-bit SimHash per document over token hashes — deterministic
+    and fully vectorized per batch: all tokens hashed in one call,
+    bits unpacked with np.unpackbits, per-doc bit votes via
+    np.add.reduceat, fingerprint packed with one weighted sum. Output
+    (doc_id, simhash) with simhash as a 16-hex string (stable across
+    engines)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            toks = text.strip().split()
-            if not toks:
-                out.append("0" * 16)
-                continue
-            hv = np.array([_stable_u64(t) for t in toks], dtype=np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+        flat, lens, offsets = _flat_tokens(batch["text"])
+        sh = np.zeros(len(batch), dtype=np.uint64)
+        if len(flat):
+            hv = _hash_str_array(flat)
+            # (T, 64) little-endian bits, matching (hv >> i) & 1
+            bits = np.unpackbits(
+                hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            ones = np.add.reduceat(bits, offsets, axis=0)
+            votes = 2 * ones - lens[:, None]  # sum of ±1 per bit
+            sh = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
-            votes = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    sh |= np.uint64(1) << np.uint64(i)
-            out.append(format(int(sh), "016x"))
+            sh[lens == 0] = 0  # reduceat repeats neighbors on empty segments
+        out = [format(int(x), "016x") for x in sh]
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 
     return ds.map_batches(f, batch_format="pandas").to_pandas()
