@@ -1,13 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool decode/feature stages.
 
-The container has no image/audio libraries, so the DECODE KERNEL is
-stubbed: `decode_stub=True` (default) runs a deterministic fake decode
-(byte length + first/last byte checksum); `decode_stub=False` raises
-NotImplementedError at the exact point a real `PIL.Image.open` /
-`soundfile.read` call would go. Everything Ray-side — binary column
-schema, small batch sizes for heavy rows, actor signature, output
-layout — is real and tested.
+Two decode paths:
+
+- **Real kernel**: uncompressed WAV (RIFF/PCM-16) payloads are parsed
+  with pure numpy (`MediaDecoder._decode_wav`) — header fields via
+  struct, samples via a zero-copy `np.frombuffer` int16 view — and
+  reduced to exact integer features (count / sum / sum-of-squares),
+  which the DuckDB oracle recomputes independently (`media_wav_features`).
+- **Stub**: compressed formats (JPEG/MP3/H.264) need codec libraries
+  the container lacks; `decode_stub=True` (default) runs a
+  deterministic fake decode, `decode_stub=False` raises
+  NotImplementedError at the exact point a `PIL.Image.open` /
+  `soundfile.read` call would go.
 
 At 100 TB: binary payload rows are orders of magnitude wider than
 text rows, so this stage uses small `batch_size` and relies on Arrow
@@ -15,6 +20,8 @@ binary buffers end to end (never pandas object dtype).
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -46,20 +53,82 @@ def to_binary_payloads(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def synth_wav_payloads(sf_dir: str) -> rd.Dataset:
+    """Deterministic PCM-16 WAV payloads derived from (doc_id,
+    n_chars): sample[i] = ((doc_id*31 + i*7919) % 65536) - 32768 over
+    n = (n_chars % 256) + 16 samples, wrapped in a canonical 44-byte
+    RIFF header. The formula is plain integer arithmetic, so the
+    DuckDB oracle regenerates the identical samples from the parquet
+    columns alone — making the REAL decode kernel oracle-checkable
+    with no media files in testdata."""
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, n_chars in zip(
+            t["doc_id"].to_numpy(), t["n_chars"].to_numpy()
+        ):
+            n = int(n_chars) % 256 + 16
+            i = np.arange(n, dtype=np.int64)
+            smp = ((int(doc_id) * 31 + i * 7919) % 65536 - 32768).astype("<i2")
+            data = smp.tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE",
+                b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+                b"data", len(data),
+            )
+            payloads.append(hdr + data)
+        payload = pa.array(payloads, type=pa.binary())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": payload,
+                "media_type": pa.array(["audio/wav"] * t.num_rows),
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class MediaDecoder:
-    """Actor-pool decode/feature stage. __init__ loads the (stubbed)
-    codec once per actor; __call__ decodes a batch. Real plumbing,
-    fake kernel (see module docstring)."""
+    """Actor-pool decode/feature stage. __init__ loads the codec once
+    per actor; __call__ decodes a batch. WAV/PCM-16 payloads get the
+    REAL pure-numpy kernel; other formats hit the stub (see module
+    docstring)."""
 
     def __init__(self, decode_stub: bool = True):
         self.decode_stub = decode_stub
-        # Real version would load codecs/models here, once per actor:
-        # self.codec = PIL.Image / soundfile / decord.VideoReader ...
+        # Codecs for COMPRESSED formats would load here, once per
+        # actor: PIL.Image / soundfile / decord.VideoReader ...
+
+    @staticmethod
+    def _decode_wav(payload: bytes) -> dict:
+        """Real kernel: canonical RIFF/PCM-16 mono parse, numpy only."""
+        if payload[8:12] != b"WAVE" or payload[12:16] != b"fmt ":
+            raise ValueError("not a canonical WAVE payload")
+        audio_fmt, n_ch = struct.unpack_from("<HH", payload, 20)
+        bits = struct.unpack_from("<H", payload, 34)[0]
+        if (audio_fmt, n_ch, bits) != (1, 1, 16):
+            raise ValueError(f"unsupported WAV layout {(audio_fmt, n_ch, bits)}")
+        size = struct.unpack_from("<I", payload, 40)[0]
+        smp = np.frombuffer(payload, dtype="<i2", offset=44, count=size // 2).astype(
+            np.int64
+        )
+        return {
+            "n_samples": int(smp.size),
+            "sum_samples": int(smp.sum()),
+            "sumsq_samples": int((smp * smp).sum()),
+        }
 
     def _decode(self, payload: bytes) -> dict:
+        if payload[:4] == b"RIFF":
+            w = self._decode_wav(payload)
+            return {"feat_len": w["n_samples"], "feat_sum": w["sum_samples"]}
         if not self.decode_stub:
             raise NotImplementedError(
-                "real media decode requires PIL/soundfile, not in this container"
+                "compressed media decode requires PIL/soundfile, not in this container"
             )
         # Deterministic fake: 'decoded feature' = (length, head+tail sum)
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -85,6 +154,42 @@ def media_features(sf_dir: str, decode_stub: bool = True) -> pd.DataFrame:
     out = ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"decode_stub": decode_stub},
+        batch_format="pyarrow",
+        batch_size=256,  # small: binary rows are wide
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.to_pandas()
+
+
+class WavFeatures(MediaDecoder):
+    """Real-kernel feature stage: WAV parse -> exact integer features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode_wav(p) for p in batch["payload"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_samples": pa.array(
+                    [f["n_samples"] for f in feats], type=pa.int64()
+                ),
+                "sum_samples": pa.array(
+                    [f["sum_samples"] for f in feats], type=pa.int64()
+                ),
+                "sumsq_samples": pa.array(
+                    [f["sumsq_samples"] for f in feats], type=pa.int64()
+                ),
+            }
+        )
+
+
+def media_wav_features(sf_dir: str) -> pd.DataFrame:
+    """Synthesize WAV payloads -> REAL numpy decode -> exact features;
+    oracle-checked (the SQL regenerates the samples from (doc_id,
+    n_chars) with the same integer formula)."""
+    ds = synth_wav_payloads(sf_dir)
+    out = ds.map_batches(
+        WavFeatures,
         batch_format="pyarrow",
         batch_size=256,  # small: binary rows are wide
         concurrency=2,

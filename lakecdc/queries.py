@@ -710,3 +710,108 @@ def cdc_changelog_stats(sf_dir: str) -> pd.DataFrame:
     for c in ["n_events", "n_deletes", "lsn_watermark"]:
         df[c] = df[c].astype("int64")
     return df
+
+
+# ---------------------------------------------------------------------------
+# Merge-key degradation (schema-driven plan change)
+# ---------------------------------------------------------------------------
+
+def _multiway_support_join(sf_dir: str, events_has_ts: bool) -> pd.DataFrame:
+    """J6 with the reference's merge-key degradation
+    (scripts/merge_support.py:237-260): supports are aggregated on the
+    composite key (custkey, year); if ANY support input lacks a usable
+    year column, the join key DEGRADES to the primary key alone —
+    year-keyed aggregates and the key universe collapse by sum, and
+    the plan change is logged, never silent.
+
+    ``events_has_ts=False`` simulates the producer that omits the
+    secondary key component (the reference's support file with no
+    usable CAND_ELECTION_YR).
+    """
+    import logging
+
+    orders_tot = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["o_custkey"],
+                    "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                    "order_cents": cents(t["o_totalprice"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["key", "yr"])
+        .aggregate(Sum("order_cents", alias_name="order_cents"))
+        .to_pandas()
+    )
+    ev_cols = ["user_id", "event_type", "value"] + (["ts"] if events_has_ts else [])
+
+    def ev_shape(t: pa.Table) -> pa.Table:
+        cols = {
+            "key": t["user_id"],
+            "purchase_cents": pc.if_else(
+                pc.equal(t["event_type"], "purchase"),
+                cents(t["value"]),
+                pa.scalar(0, type=pa.int64()),
+            ),
+        }
+        if "ts" in t.column_names:
+            cols["yr"] = pc.cast(pc.year(t["ts"]), pa.int64())
+        return pa.table(cols)
+
+    ev = read(sf_dir, "events", ev_cols).map_batches(
+        ev_shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ev_keys = ["key", "yr"] if events_has_ts else ["key"]
+    ev_tot = (
+        ev.groupby(ev_keys)
+        .aggregate(Sum("purchase_cents", alias_name="purchase_cents"))
+        .to_pandas()
+    )
+
+    supports = {"orders": orders_tot, "events": ev_tot}
+    usable = {
+        name: "yr" in df.columns and df["yr"].notna().any()
+        for name, df in supports.items()
+    }
+    degraded = not all(usable.values())
+    if degraded:
+        # The reference's fallback: collapse year-keyed frames to the
+        # primary key by sum ("no money lost", merge_support.py:49-84)
+        # and join on the primary key alone.
+        logging.getLogger(__name__).warning(
+            "multiway join key degraded to primary: inputs without usable "
+            "year column: %s",
+            sorted(n for n, ok in usable.items() if not ok),
+        )
+        join_keys = ["key"]
+        supports = {
+            name: df.drop(columns=["yr"], errors="ignore")
+            .groupby("key", as_index=False)
+            .sum()
+            for name, df in supports.items()
+        }
+    else:
+        join_keys = ["key", "yr"]
+
+    # Authoritative key universe: the distinct order keys (the cn.txt
+    # analogue), at the chosen key granularity.
+    universe = supports["orders"][join_keys].drop_duplicates()
+    df = universe.merge(supports["orders"], on=join_keys, how="left")
+    df = df.merge(supports["events"], on=join_keys, how="left")
+    for c in ["order_cents", "purchase_cents"]:
+        df[c] = df[c].fillna(0).astype("int64")
+    df["total_support_cents"] = df["order_cents"] + df["purchase_cents"]
+    df["has_money"] = (df["total_support_cents"] > 0).astype("int64")
+    df["join_key_degraded"] = np.int64(1 if degraded else 0)
+    return df.reset_index(drop=True)
+
+
+def multiway_left_join_degraded(sf_dir: str) -> pd.DataFrame:
+    """The registered degradation case: the events producer omits its
+    timestamp column, so the composite join key (key, yr) degrades to
+    the primary key with a logged plan change."""
+    return _multiway_support_join(sf_dir, events_has_ts=False)

@@ -49,6 +49,7 @@ QUERIES: dict[str, Callable] = {
     "broadcast_hash_join": q.broadcast_hash_join,
     "broadcast_left_join_attrs": q.broadcast_left_join_attrs,
     "multiway_left_join": q.multiway_left_join,
+    "multiway_left_join_degraded": q.multiway_left_join_degraded,
     "anti_join": q.anti_join,
     # --- sort / topk / dedup / union (§2.6-2.7) ---
     "topk": q.topk,
@@ -84,6 +85,7 @@ QUERIES: dict[str, Callable] = {
     "winnowing_fingerprints": text.winnowing_fingerprints,  # rows-only
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
+    "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
     # --- the engine itself ---
     "cdc_apply_tokens": run_flagship,  # oracle is pytest replay, rows-only here
 }
@@ -181,6 +183,20 @@ ORACLES: dict[str, str] = {
                     THEN 1 ELSE 0 END AS BIGINT) AS has_money
         FROM customer c LEFT JOIN ord o ON c.c_custkey = o.key
                         LEFT JOIN ev e ON c.c_custkey = e.key
+    """,
+    "multiway_left_join_degraded": f"""
+        WITH ord AS (SELECT o_custkey AS key, {_s(_c('o_totalprice'))} AS order_cents
+                     FROM orders GROUP BY 1),
+             ev  AS (SELECT user_id AS key,
+                            {_s(f"CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END")} AS purchase_cents
+                     FROM events GROUP BY 1)
+        SELECT o.key, o.order_cents,
+               COALESCE(e.purchase_cents, 0) AS purchase_cents,
+               o.order_cents + COALESCE(e.purchase_cents, 0) AS total_support_cents,
+               CAST(CASE WHEN o.order_cents + COALESCE(e.purchase_cents, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_money,
+               CAST(1 AS BIGINT) AS join_key_degraded
+        FROM ord o LEFT JOIN ev e ON o.key = e.key
     """,
     "anti_join": """
         SELECT c_custkey, c_name FROM customer
@@ -316,6 +332,17 @@ ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.38
+    """,
+    "media_wav_features": """
+        WITH d AS (SELECT doc_id, (n_chars % 256) + 16 AS n FROM documents),
+             s AS (SELECT doc_id, n,
+                          ((doc_id * 31 + unnest(range(n)) * 7919) % 65536) - 32768 AS smp
+                   FROM d)
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(smp) AS BIGINT) AS sum_samples,
+               CAST(SUM(smp * smp) AS BIGINT) AS sumsq_samples
+        FROM s GROUP BY doc_id
     """,
     "ann_topk": """
         WITH sims AS (

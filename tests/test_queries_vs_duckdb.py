@@ -72,6 +72,40 @@ def test_rows_only_query_runs(name):
     assert len(df) >= 0 and len(df.columns) > 0
 
 
+def test_multiway_join_keyed_branch_vs_duckdb():
+    """The non-degraded branch of the merge-key degradation operator:
+    when every support input carries the secondary key, the join runs
+    on the composite (key, yr) and reports join_key_degraded == 0."""
+    from lakecdc.queries import _multiway_support_join
+
+    got = _normalize(_multiway_support_join(SF_DIR, events_has_ts=True))
+    assert (got["join_key_degraded"] == 0).all()
+    con = _duck(SF_DIR)
+    want = _normalize(
+        con.execute(
+            """
+        WITH ord AS (SELECT o_custkey AS key, year(o_orderdate) AS yr,
+                            CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS order_cents
+                     FROM orders GROUP BY 1, 2),
+             ev  AS (SELECT user_id AS key, year(ts) AS yr,
+                            CAST(SUM(CASE WHEN event_type='purchase'
+                                 THEN CAST(FLOOR(value*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+                     FROM events GROUP BY 1, 2)
+        SELECT o.key, CAST(o.yr AS BIGINT) AS yr, o.order_cents,
+               COALESCE(e.purchase_cents, 0) AS purchase_cents,
+               o.order_cents + COALESCE(e.purchase_cents, 0) AS total_support_cents,
+               CAST(CASE WHEN o.order_cents + COALESCE(e.purchase_cents, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_money,
+               CAST(0 AS BIGINT) AS join_key_degraded
+        FROM ord o LEFT JOIN ev e ON o.key = e.key AND o.yr = e.yr
+        """
+        ).fetchdf()
+    )
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_lang_id_sane():
     df = _to_df(QUERIES["lang_id"](SF_DIR))
     assert set(df.columns) == {"doc_id", "lang", "pred_lang"}
@@ -135,6 +169,41 @@ def test_media_decoder_stub_raises_without_stub():
     dec = MediaDecoder(decode_stub=False)
     with pytest.raises(NotImplementedError):
         dec._decode(b"abc")
+
+
+def test_wav_kernel_roundtrip():
+    """The real decode kernel: a hand-built PCM-16 WAV parses back to
+    its exact samples."""
+    import struct
+
+    import numpy as np
+
+    from lakecdc.multimodal import MediaDecoder
+
+    smp = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    data = smp.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, 8000, 16000, 2, 16,
+        b"data", len(data),
+    )
+    f = MediaDecoder._decode_wav(hdr + data)
+    s = smp.astype(np.int64)
+    assert f == {
+        "n_samples": 6,
+        "sum_samples": int(s.sum()),
+        "sumsq_samples": int((s * s).sum()),
+    }
+    # stereo / 8-bit layouts are rejected, not silently misparsed
+    bad = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 2, 8000, 32000, 4, 16,
+        b"data", len(data),
+    )
+    with pytest.raises(ValueError):
+        MediaDecoder._decode_wav(bad + data)
 
 
 def test_entry_contract():
