@@ -278,6 +278,83 @@ def bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def multiway_left_join_at_scale(sf_dir: str) -> pd.DataFrame:
+    """J6 at scale: the same universe ⟕ aggregates ⟕ aggregates plan
+    as queries.multiway_left_join, but with NO driver-side merge — the
+    universe and both support aggregates stay Datasets and the joins
+    are hash-shuffle Dataset.join calls, so the plan holds when the
+    key universe no longer fits one process (the reference's
+    merge_support join where both sides can be large,
+    scripts/merge_support.py:244-251). Same output, same oracle."""
+    import ray
+
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+    orders_tot = (
+        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {"okey": t["o_custkey"], "order_cents": cents(t["o_totalprice"])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("okey")
+        .aggregate(Sum("order_cents", alias_name="order_cents"))
+    )
+    ev_tot = (
+        read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "ekey": t["user_id"],
+                    "purchase_cents": pc.if_else(
+                        pc.equal(t["event_type"], "purchase"),
+                        cents(t["value"]),
+                        pa.scalar(0, type=pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("ekey")
+        .aggregate(Sum("purchase_cents", alias_name="purchase_cents"))
+    )
+    uni = read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    joined = uni.join(
+        orders_tot,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("okey",),
+    ).join(
+        ev_tot,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("ekey",),
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        oc = pc.fill_null(pc.cast(t["order_cents"], pa.int64()), 0)
+        ec = pc.fill_null(pc.cast(t["purchase_cents"], pa.int64()), 0)
+        total = pc.add(oc, ec)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_mktsegment": t["c_mktsegment"],
+                "order_cents": oc,
+                "purchase_cents": ec,
+                "total_support_cents": total,
+                "has_money": pc.cast(pc.greater(total, 0), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(derive, batch_format="pyarrow").to_pandas()
+
+
 _SAMPLE_MULT = 2654435761  # Knuth multiplicative hash constant
 
 

@@ -49,6 +49,7 @@ QUERIES: dict[str, Callable] = {
     "broadcast_hash_join": q.broadcast_hash_join,
     "broadcast_left_join_attrs": q.broadcast_left_join_attrs,
     "multiway_left_join": q.multiway_left_join,
+    "multiway_left_join_at_scale": q2.multiway_left_join_at_scale,
     "multiway_left_join_degraded": q.multiway_left_join_degraded,
     "anti_join": q.anti_join,
     # --- sort / topk / dedup / union (§2.6-2.7) ---
@@ -170,6 +171,22 @@ ORACLES: dict[str, str] = {
         GROUP BY o_custkey, c_name, c_mktsegment
     """,
     "multiway_left_join": f"""
+        WITH ord AS (SELECT o_custkey AS key, {_s(_c('o_totalprice'))} AS order_cents
+                     FROM orders GROUP BY 1),
+             ev  AS (SELECT user_id AS key,
+                            {_s(f"CASE WHEN event_type='purchase' THEN {_c('value')} ELSE 0 END")} AS purchase_cents
+                     FROM events GROUP BY 1)
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+               COALESCE(o.order_cents, 0) AS order_cents,
+               COALESCE(e.purchase_cents, 0) AS purchase_cents,
+               COALESCE(o.order_cents, 0) + COALESCE(e.purchase_cents, 0) AS total_support_cents,
+               CAST(CASE WHEN COALESCE(o.order_cents,0)+COALESCE(e.purchase_cents,0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS has_money
+        FROM customer c LEFT JOIN ord o ON c.c_custkey = o.key
+                        LEFT JOIN ev e ON c.c_custkey = e.key
+    """,
+    # identical semantics/oracle as multiway_left_join; different physical plan
+    "multiway_left_join_at_scale": f"""
         WITH ord AS (SELECT o_custkey AS key, {_s(_c('o_totalprice'))} AS order_cents
                      FROM orders GROUP BY 1),
              ev  AS (SELECT user_id AS key,
