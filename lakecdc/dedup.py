@@ -162,6 +162,37 @@ class MinHasher:
             }
         )
 
+    def sig_and_tokens(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Signatures plus each doc's SORTED UNIQUE token-hash array —
+        emitted together so the verify stage never re-reads/re-tokenizes
+        the corpus. Fully vectorized: one lexsort + adjacent-dedupe over
+        the whole batch, then per-doc views via np.split."""
+        flat, lens, offsets = _flat_tokens(batch["text"])
+        umax = np.iinfo(np.uint64).max
+        d = len(batch)
+        if len(flat) == 0:
+            sig = np.full((d, self.num_perm), umax, dtype=np.uint64)
+            toks = [np.empty(0, dtype=np.uint64)] * d
+        else:
+            uniq, inv = np.unique(flat, return_inverse=True)
+            hv = _hash_str_array(uniq)
+            perm = (hv[:, None] * self.a[None, :] + self.b[None, :]) % self.p
+            sig = np.minimum.reduceat(perm[inv], offsets, axis=0)
+            sig[lens == 0] = umax
+            hv_flat = hv[inv]
+            doc_of = np.repeat(np.arange(d, dtype=np.int64), lens)
+            order = np.lexsort((hv_flat, doc_of))
+            d_s, h_s = doc_of[order], hv_flat[order]
+            keep = np.ones(len(d_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            vals = h_s[keep]
+            counts = np.bincount(d_s[keep], minlength=d)
+            toks = np.split(vals, np.cumsum(counts)[:-1])
+        out = batch[["doc_id"]].copy()
+        out["sig"] = list(sig)
+        out["toks"] = toks
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sig = self.signatures(batch["text"])
         if self.bands is None:
@@ -182,7 +213,7 @@ def _mh_cached(num_perm: int, seed: int = 42, bands: int | None = None) -> "MinH
 
 
 def _minhash_sig_batch(batch: pd.DataFrame, num_perm: int) -> pd.DataFrame:
-    return _mh_cached(num_perm)(batch)
+    return _mh_cached(num_perm).sig_and_tokens(batch)
 
 
 def minhash_lsh_pairs(
@@ -294,59 +325,64 @@ def minhash_lsh_pairs(
     #       (C, P) equality per batch;
     #   (b) exact verify of the est-survivors via numpy set
     #       intersections of the docs' token hashes.
-    # Both broadcast structures are CANDIDATE-scale: the signature
-    # matrix is ~0.5 KB/doc and the token sets cover candidate docs
-    # only (second pruned read of `documents`; at 100 TB both become
-    # key-range joins instead of broadcasts). Nothing O(N·V) exists.
-    cand_ids = np.unique(
-        np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
-    )
-    ids_ref = ray.put(np.sort(cand_ids))
-
-    def tok_sets(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(ids_ref)
-        b = batch[np.isin(batch["doc_id"].to_numpy(), ids)]
-        toks = [
-            np.unique(_hash_str_array(np.array(t.strip().split(), dtype=object)))
-            for t in b["text"]
-        ]
-        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "toks": toks})
-
-    tok_tbl = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(tok_sets, batch_format="pandas")
-        .to_pandas()
-    )
-    tok_ref = ray.put(dict(zip(tok_tbl["doc_id"], tok_tbl["toks"])))
-
-    sig_tbl = sigs.to_pandas()
-    keep_sig = np.isin(sig_tbl["doc_id"].to_numpy(), np.sort(cand_ids))
-    sig_tbl = sig_tbl[keep_sig].reset_index(drop=True)
-    sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_tbl["sig"]])
-    sig_ref = ray.put(
-        (
-            sig_mat,
-            pd.Series(
-                np.arange(len(sig_tbl), dtype=np.int64),
-                index=sig_tbl["doc_id"].to_numpy(),
-            ),
+    # The sig/token table is filtered to CANDIDATE docs with a
+    # distributed pass over the already-materialized signature dataset
+    # (no re-read / re-tokenize of the corpus), so every broadcast
+    # structure is candidate-scale — at 100 TB the filter becomes a
+    # key-range join of (output-scale) candidates against the
+    # signature table. Nothing O(N·V) exists anywhere.
+    cand_ids = np.sort(
+        np.unique(
+            np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()])
         )
     )
+    ids_ref = ray.put(cand_ids)
+
+    def keep_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[np.isin(batch["doc_id"].to_numpy(), ray.get(ids_ref))]
+
+    sig_tbl = (
+        sigs.map_batches(keep_candidates, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # Pack the broadcast as FLAT numpy buffers (ids / CSR token offsets
+    # + values / signature matrix): ray.get is then zero-copy from the
+    # object store per task, vs deserializing a dict of thousands of
+    # small arrays.
+    ids_sorted = sig_tbl["doc_id"].to_numpy()
+    tok_arrays = [np.asarray(t, dtype=np.uint64) for t in sig_tbl["toks"]]
+    tok_offsets = np.zeros(len(tok_arrays) + 1, dtype=np.int64)
+    np.cumsum([len(a) for a in tok_arrays], out=tok_offsets[1:])
+    tok_values = (
+        np.concatenate(tok_arrays) if tok_arrays else np.empty(0, dtype=np.uint64)
+    )
+    sig_mat = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_tbl["sig"]])
+    pack_ref = ray.put((ids_sorted, tok_offsets, tok_values, sig_mat))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sig_mat, row_of = ray.get(sig_ref)
-        ra = batch["doc_a"].map(row_of).to_numpy()
-        rb = batch["doc_b"].map(row_of).to_numpy()
+        ids_sorted, tok_offsets, tok_values, sig_mat = ray.get(pack_ref)
+        ra = np.searchsorted(ids_sorted, batch["doc_a"].to_numpy())
+        rb = np.searchsorted(ids_sorted, batch["doc_b"].to_numpy())
         est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
-        batch = batch[est >= threshold - 0.15]
-        tokmap = ray.get(tok_ref)
-        ta = [tokmap[d] for d in batch["doc_a"]]
-        tb = [tokmap[d] for d in batch["doc_b"]]
+        m = est >= threshold - 0.15
+        batch, ra, rb = batch[m], ra[m], rb[m]
         inter = np.array(
-            [len(np.intersect1d(x, y, assume_unique=True)) for x, y in zip(ta, tb)],
+            [
+                len(
+                    np.intersect1d(
+                        tok_values[tok_offsets[a] : tok_offsets[a + 1]],
+                        tok_values[tok_offsets[b] : tok_offsets[b + 1]],
+                        assume_unique=True,
+                    )
+                )
+                for a, b in zip(ra, rb)
+            ],
             dtype=np.int64,
         )
-        union = np.array([len(x) + len(y) for x, y in zip(ta, tb)], dtype=np.int64) - inter
+        sizes = tok_offsets[1:] - tok_offsets[:-1]
+        union = sizes[ra] + sizes[rb] - inter
         jac = inter / np.maximum(union, 1)
         keep = jac >= threshold
         return pd.DataFrame(

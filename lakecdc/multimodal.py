@@ -162,6 +162,123 @@ def media_features(sf_dir: str, decode_stub: bool = True) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def synth_ppm_payloads(sf_dir: str) -> rd.Dataset:
+    """Deterministic P6 PPM images derived from (doc_id, n_chars):
+    w = (n_chars % 12 + 4) rounded to even, h = 8; pixel byte j (over
+    the w*h*3 RGB bytes) = (doc_id * 37 + j * 101) % 256. Same
+    SQL-recomputable-formula trick as synth_wav_payloads."""
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, n_chars in zip(t["doc_id"].to_numpy(), t["n_chars"].to_numpy()):
+            w = ((int(n_chars) % 12) + 4) // 2 * 2
+            h = 8
+            j = np.arange(w * h * 3, dtype=np.int64)
+            px = ((int(doc_id) * 37 + j * 101) % 256).astype(np.uint8)
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+        payload = pa.array(payloads, type=pa.binary())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": payload,
+                "media_type": pa.array(["image/x-portable-pixmap"] * t.num_rows),
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _parse_ppm(payload: bytes) -> np.ndarray:
+    """Real kernel: binary P6 parse, numpy only -> (h, w, 3) uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, whitespace-separated w h maxval, single whitespace
+    parts = payload.split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    off = len(payload) - w * h * 3
+    return np.frombuffer(payload, dtype=np.uint8, offset=off).reshape(h, w, 3)
+
+
+class PpmFeatures:
+    """Actor-pool image stage: real P6 decode -> exact integer
+    features + a 2x2 box-downsample (the resize step), reported as the
+    downsampled image's pixel sum so the whole decode->resize path is
+    value-checked."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("width", "height", "sum_pixels", "resized_sum")}
+        for p in batch["payload"].to_pylist():
+            img = _parse_ppm(p).astype(np.int64)
+            h, w, _ = img.shape
+            small = (
+                img.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) // 4
+            )  # 2x2 box mean, floor
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_pixels"].append(int(img.sum()))
+            rows["resized_sum"].append(int(small.sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                **{k: pa.array(v, type=pa.int64()) for k, v in rows.items()},
+            }
+        )
+
+
+def media_image_features(sf_dir: str) -> pd.DataFrame:
+    """Synthesize PPM payloads -> REAL numpy decode -> 2x2 box resize
+    -> exact features; decode features oracle-checked (SQL regenerates
+    pixels from (doc_id, n_chars)); the resize sum is checked by
+    pytest against a numpy reference."""
+    ds = synth_ppm_payloads(sf_dir)
+    out = ds.map_batches(
+        PpmFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.to_pandas()
+
+
+class FrameSampler:
+    """Video plumbing: payload = concatenated raw RGB frames (the
+    decoded representation a real decoder would emit). The stage
+    samples every k-th frame and emits per-sampled-frame features —
+    the frame-sample pattern for video corpora. Pure numpy."""
+
+    def __init__(self, frame_w: int, frame_h: int, every: int = 2):
+        self.frame_bytes = frame_w * frame_h * 3
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, frame_sums = [], [], []
+        for doc_id, p in zip(
+            batch["doc_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            n_frames = arr.size // self.frame_bytes
+            frames = arr[: n_frames * self.frame_bytes].reshape(
+                n_frames, self.frame_bytes
+            )
+            sel = np.arange(0, n_frames, self.every)
+            sums = frames[sel].sum(axis=1, dtype=np.int64)
+            doc_ids.extend([doc_id] * len(sel))
+            frame_idx.extend(sel.tolist())
+            frame_sums.extend(sums.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "frame": pa.array(frame_idx, type=pa.int64()),
+                "frame_sum": pa.array(frame_sums, type=pa.int64()),
+            }
+        )
+
+
 class WavFeatures(MediaDecoder):
     """Real-kernel feature stage: WAV parse -> exact integer features."""
 

@@ -87,6 +87,7 @@ QUERIES: dict[str, Callable] = {
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
+    "media_image_features": multimodal.media_image_features,  # REAL numpy PPM kernel + resize
     # --- the engine itself ---
     "cdc_apply_tokens": run_flagship,  # oracle is pytest replay, rows-only here
 }
@@ -360,6 +361,26 @@ ORACLES: dict[str, str] = {
                CAST(SUM(smp) AS BIGINT) AS sum_samples,
                CAST(SUM(smp * smp) AS BIGINT) AS sumsq_samples
         FROM s GROUP BY doc_id
+    """,
+    "media_image_features": """
+        WITH d AS (SELECT doc_id, ((n_chars % 12) + 4) // 2 * 2 AS w, 8 AS h
+                   FROM documents),
+             px AS (SELECT doc_id, w, h, j,
+                           (doc_id * 37 + j * 101) % 256 AS v,
+                           ((j // 3) // w) // 2 AS by,
+                           ((j // 3) % w) // 2 AS bx,
+                           j % 3 AS c
+                    FROM (SELECT doc_id, w, h, unnest(range(w * h * 3)) AS j FROM d)),
+             tot AS (SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+                            CAST(MAX(h) AS BIGINT) AS height,
+                            CAST(SUM(v) AS BIGINT) AS sum_pixels
+                     FROM px GROUP BY 1),
+             blocks AS (SELECT doc_id, by, bx, c, SUM(v) // 4 AS bv
+                        FROM px GROUP BY 1, 2, 3, 4),
+             rs AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) AS resized_sum
+                    FROM blocks GROUP BY 1)
+        SELECT t.doc_id, t.width, t.height, t.sum_pixels, r.resized_sum
+        FROM tot t JOIN rs r ON t.doc_id = r.doc_id
     """,
     "ann_topk": """
         WITH sims AS (

@@ -206,6 +206,51 @@ def test_wav_kernel_roundtrip():
         MediaDecoder._decode_wav(bad + data)
 
 
+def test_ppm_kernel_roundtrip_and_resize():
+    """Real P6 decode + 2x2 box resize against a numpy reference."""
+    import numpy as np
+
+    from lakecdc.multimodal import PpmFeatures, _parse_ppm
+
+    rng = np.random.default_rng(7)
+    w, h = 6, 4
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    assert (_parse_ppm(payload) == px).all()
+
+    import pyarrow as pa
+
+    out = PpmFeatures()(
+        pa.table({"doc_id": pa.array([1]), "payload": pa.array([payload], type=pa.binary())})
+    ).to_pylist()[0]
+    img = px.astype(np.int64)
+    small = img.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) // 4
+    assert out == {
+        "doc_id": 1,
+        "width": w,
+        "height": h,
+        "sum_pixels": int(img.sum()),
+        "resized_sum": int(small.sum()),
+    }
+
+
+def test_frame_sampler():
+    import numpy as np
+    import pyarrow as pa
+
+    from lakecdc.multimodal import FrameSampler
+
+    fw, fh, n_frames = 4, 2, 6
+    frames = np.arange(n_frames * fw * fh * 3, dtype=np.int64) % 256
+    payload = frames.astype(np.uint8).tobytes()
+    out = FrameSampler(fw, fh, every=2)(
+        pa.table({"doc_id": pa.array([9]), "payload": pa.array([payload], type=pa.binary())})
+    ).to_pandas()
+    assert out["frame"].tolist() == [0, 2, 4]
+    per = frames.reshape(n_frames, -1).sum(axis=1)
+    assert out["frame_sum"].tolist() == [int(per[0]), int(per[2]), int(per[4])]
+
+
 def test_entry_contract():
     import __ray_entry__ as e
 
