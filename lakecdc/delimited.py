@@ -73,6 +73,66 @@ def read_delimited(
     return ds.map_batches(validate, batch_format="pandas")
 
 
+def delimited_roundtrip(sf_dir: str) -> "pd.DataFrame":
+    """Driver-checked S1/S2 exercise: materialize the `customer` table
+    as a pipe-delimited headerless file with DETERMINISTIC injected
+    corruption (c_custkey % 97 == 0 -> non-numeric balance, counted
+    drop; c_custkey % 101 == 0 -> wrong field count, parser skip),
+    ingest it back with `read_delimited`, and aggregate per segment.
+    The oracle recomputes from the parquet with the same key
+    predicates, so permissive parse + counted drops are value-checked.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from lakecdc.qutil import read_small
+
+    cust = read_small(
+        sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]
+    ).to_pandas()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/lakecdc_delim_{tag}.txt"
+    with open(path, "w") as f:
+        for key, seg, bal in zip(
+            cust["c_custkey"], cust["c_mktsegment"], cust["c_acctbal"]
+        ):
+            if key % 101 == 0:
+                f.write(f"{key}|{seg}\n")  # wrong arity: parser skips
+            elif key % 97 == 0:
+                f.write(f"{key}|{seg}|corrupted\n")  # counted invalid
+            else:
+                f.write(f"{key}|{seg}|{bal:.2f}\n")
+
+    ds = read_delimited(
+        path,
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+        numeric_columns=["c_acctbal"],
+    )
+    good, n_bad = drop_and_count_invalid(ds)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        bal = pd.to_numeric(df["c_acctbal"])
+        return pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "acctbal_cents": np.floor(bal * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    out = (
+        good.map_batches(agg, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .sum("acctbal_cents")
+        .to_pandas()
+        .rename(columns={"sum(acctbal_cents)": "sum_acctbal_cents"})
+    )
+    out["sum_acctbal_cents"] = out["sum_acctbal_cents"].astype("int64")
+    out["n_invalid_total"] = np.int64(n_bad)
+    return out
+
+
 def drop_and_count_invalid(ds: rd.Dataset) -> tuple[rd.Dataset, int]:
     """Split the permissively-parsed stream: valid rows stream on,
     invalid rows are COUNTED (never silently lost). The count is an

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from lakecdc import ann, dedup, multimodal, queries as q, queries2 as q2, text
+from lakecdc import ann, dedup, delimited, multimodal, queries as q, queries2 as q2, text
 from lakecdc.flagship import run_flagship
 
 _C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
@@ -59,6 +59,7 @@ QUERIES: dict[str, Callable] = {
     "exact_dedup": q.exact_dedup,
     "union_distinct_keys": q.union_distinct_keys,
     "union_provenance": q.union_provenance,
+    "delimited_ingest": delimited.delimited_roundtrip,
     # --- CDC semantics over the events stream ---
     "cdc_lww_state": q.cdc_lww_state,
     "cdc_changelog_stats": q.cdc_changelog_stats,
@@ -251,6 +252,16 @@ ORACLES: dict[str, str] = {
             SELECT 'orders' AS source_table, {_c('o_totalprice')} AS amount_cents FROM orders
             UNION ALL
             SELECT 'events' AS source_table, {_c('value')} AS amount_cents FROM events)
+        GROUP BY 1
+    """,
+    "delimited_ingest": f"""
+        SELECT c_mktsegment,
+               {_s(_c('c_acctbal'))} AS sum_acctbal_cents,
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_custkey % 97 = 0 AND c_custkey % 101 <> 0)
+                    AS BIGINT) AS n_invalid_total
+        FROM customer
+        WHERE c_custkey % 97 <> 0 AND c_custkey % 101 <> 0
         GROUP BY 1
     """,
     "cdc_lww_state": f"""
