@@ -58,9 +58,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--evolution-epoch", type=int, default=None)
     sp.add_argument("--zipf", type=float, default=1.3)
 
-    for name in ("apply", "compact", "vacuum", "show", "verify", "validate"):
+    for name in (
+        "apply", "compact", "vacuum", "show", "verify", "validate",
+        "lookup", "changelog",
+    ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
+        if name == "lookup":
+            s.add_argument("--ids", required=True, help="comma-separated doc_ids")
+            s.add_argument("--as-of", type=int, default=None, dest="as_of")
+        if name == "changelog":
+            s.add_argument("--from-epoch", type=int, default=None, dest="from_epoch")
+            s.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
         if name == "apply":
             s.add_argument(
                 "--mode", choices=["cow", "mor"], default="cow",
@@ -182,6 +191,29 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0 if all(ok for _, ok, _ in results) else 1
+        elif args.cmd == "lookup":
+            from lakecdc.lake import lookup
+
+            df = lookup(cfg, args.ids.split(","), up_to_epoch=args.as_of)
+            print(
+                json.dumps(
+                    {
+                        "rows": len(df),
+                        "docs": {
+                            r["doc_id"]: {"n_tok": int(r["n_tok"]), "source": r["source"]}
+                            for r in df.to_dict("records")
+                        },
+                    }
+                )
+            )
+        elif args.cmd == "changelog":
+            from lakecdc import wal as wal_mod
+
+            ds = wal_mod.read_changelog(
+                cfg, from_epoch=args.from_epoch, to_epoch=args.to_epoch
+            )
+            n = ds.count()
+            print(json.dumps({"events": int(n)}))
         elif args.cmd == "verify":
             from lakecdc import oracle
             from lakecdc.lake import read_lake_local

@@ -72,6 +72,38 @@ def read_lake(
     return parts.map_batches(load, batch_size=1, batch_format="pyarrow")
 
 
+def lookup(
+    cfg: EngineConfig,
+    doc_ids: list[str],
+    up_to_epoch: int | None = None,
+) -> pd.DataFrame:
+    """Point lookup with PARTITION PRUNING: hash the requested keys to
+    their buckets and read only those partitions' file chains — a
+    lookup of k keys touches at most k partitions, never the lake.
+    (The same pruning a 100 TB cluster relies on: bucket = the one
+    partitioning key, so routing is metadata-only.)"""
+    from lakecdc.shuffle import bucket_of
+
+    if not doc_ids:
+        return LAKE_SCHEMA.empty_table().to_pandas()
+    ids = pa.array(sorted(set(doc_ids)))
+    buckets = set(bucket_of(ids, cfg.num_buckets).tolist())
+    view = manifest.partition_view(cfg, up_to_epoch)
+    tables = []
+    for b in buckets:
+        files = view.get(b)
+        if not files:
+            continue
+        t = _merge_chain(files, include_meta=False)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return LAKE_SCHEMA.empty_table().to_pandas()
+    df = pa.concat_tables(tables).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def read_lake_local(
     cfg: EngineConfig, up_to_epoch: int | None = None
 ) -> pd.DataFrame:

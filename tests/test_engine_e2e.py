@@ -232,6 +232,62 @@ def test_direct_exchange_resume_and_idempotence(tmp_root):
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
 
 
+def test_point_lookup_prunes_and_matches_oracle(tmp_root):
+    """lake.lookup reads only the requested keys' buckets and returns
+    exactly the oracle's rows for those keys."""
+    from lakecdc.lake import lookup
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    ora = oracle.replay(cfg.wal_dir)
+    want_ids = ora["doc_id"].iloc[:5].tolist() + ["no-such-doc"]
+    got = lookup(cfg, want_ids)
+    want = (
+        ora[ora["doc_id"].isin(want_ids)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle.assert_lake_equals_oracle(got, want)
+    assert lookup(cfg, []).empty
+    assert lookup(cfg, ["no-such-doc"]).empty
+
+
+def test_read_changelog_tail(tmp_root):
+    """The consumer change stream: validated events across an epoch
+    range, schema-unified, invalid events excluded by default but
+    countable."""
+    import pyarrow.parquet as pq2
+
+    from lakecdc import wal as wal_mod
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3, evolution_epoch=2, p_invalid=0.1)
+    total = sum(
+        pq2.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for d in [os.path.join(cfg.wal_dir, x) for x in os.listdir(cfg.wal_dir)]
+        for f in os.listdir(d)
+    )
+    import pyarrow as pa
+    import ray
+
+    def collect(ds):
+        # arrow-native collect: ragged list<int32> tokens don't round-trip
+        # through Dataset.to_pandas's tensor-extension cast
+        return pa.concat_tables(ray.get(ds.to_arrow_refs())).to_pandas()
+
+    all_ev = collect(wal_mod.read_changelog(cfg, include_invalid=True))
+    assert len(all_ev) == total
+    assert all_ev["_invalid"].sum() > 0
+    valid = collect(wal_mod.read_changelog(cfg))
+    assert len(valid) == total - all_ev["_invalid"].sum()
+    # range filter: epochs 1..2 only
+    sub = collect(wal_mod.read_changelog(cfg, from_epoch=1, to_epoch=2))
+    assert 0 < len(sub) < len(valid)
+    # v0 segments (pre-evolution) read back with source column present
+    assert "source" in valid.columns
+
+
 def test_hot_key_skew_zipf(tmp_root):
     """Heavy Zipf skew (a=1.05 -> one dominant key) still matches the
     oracle; the batch-local combiner bounds the hot key's shuffle rows."""
