@@ -125,12 +125,14 @@ def run_bench() -> dict:
     from lakecdc.registry import QUERIES
 
     wdir, n_events = ensure_wal(SF_DIR)
-    # Warm the page cache so we measure compute+shuffle, not cold disk.
-    for dirpath, _, files in os.walk(wdir):
-        for fn in files:
-            with open(os.path.join(dirpath, fn), "rb") as f:
-                while f.read(1 << 22):
-                    pass
+    # Warm the page cache (WAL + sf tables) so we measure
+    # compute+shuffle, not cold disk.
+    for root in (wdir, SF_DIR):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    while f.read(1 << 22):
+                        pass
 
     # Warm the Ray worker pool (untimed): spawn workers and pay the
     # per-worker library imports once, so the timed runs measure

@@ -24,6 +24,7 @@ a hash-partitioned LWW merge.
 from __future__ import annotations
 
 import os
+import uuid
 from typing import Any
 
 import pyarrow as pa
@@ -198,7 +199,7 @@ def merge_and_commit(
 
     path = cfg.partition_epoch_file(bucket, epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
     os.replace(tmp, path)
     bytes_written = os.path.getsize(path)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,7 +54,7 @@ def _compact_partition(
     live = table.filter(pc.invert(table["_deleted"]))
     path = cfg.partition_compact_file(bucket, as_epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
     os.replace(tmp, path)
     record = {

@@ -44,14 +44,20 @@ def _hash_str_array(a: np.ndarray) -> np.ndarray:
 
 
 def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Tokenize a batch into one flat object array + per-doc lengths +
-    reduceat offsets (clipped so trailing empty docs stay in bounds)."""
-    toks = texts.str.strip().str.split()
+    """Tokenize a batch into one flat object array, per-doc lengths,
+    and the reduceat offsets of the NON-EMPTY docs only. Empty docs
+    contribute no tokens, so consecutive non-empty starts delimit
+    exactly the right segments — consumers reduceat over non-empty
+    docs and scatter the results back (clipping offsets instead would
+    silently truncate the PRECEDING doc's segment)."""
+    if len(texts) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.array([], dtype=object), z, z
+    toks = texts.astype(object).str.strip().str.split()
     lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
     flat = np.array([t for ts in toks for t in ts], dtype=object)
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.zeros(0, np.int64)
-    offsets = np.minimum(offsets, max(len(flat) - 1, 0))
-    return flat, lens, offsets.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return flat, lens, starts[lens > 0].astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -133,15 +139,15 @@ class MinHasher:
         self.b = rng.integers(0, self.p, size=num_perm, dtype=np.uint64)
 
     def signatures(self, texts: pd.Series) -> np.ndarray:
-        flat, lens, offsets = _flat_tokens(texts)
+        flat, lens, starts = _flat_tokens(texts)
         umax = np.iinfo(np.uint64).max
+        sig = np.full((len(texts), self.num_perm), umax, dtype=np.uint64)
         if len(flat) == 0:
-            return np.full((len(texts), self.num_perm), umax, dtype=np.uint64)
+            return sig
         uniq, inv = np.unique(flat, return_inverse=True)
         hv = _hash_str_array(uniq)
         perm = (hv[:, None] * self.a[None, :] + self.b[None, :]) % self.p
-        sig = np.minimum.reduceat(perm[inv], offsets, axis=0)
-        sig[lens == 0] = umax  # reduceat repeats neighbors on empty segments
+        sig[lens > 0] = np.minimum.reduceat(perm[inv], starts, axis=0)
         return sig
 
     def fold_bands(self, doc_ids: np.ndarray, sig: np.ndarray) -> pd.DataFrame:
@@ -167,18 +173,17 @@ class MinHasher:
         emitted together so the verify stage never re-reads/re-tokenizes
         the corpus. Fully vectorized: one lexsort + adjacent-dedupe over
         the whole batch, then per-doc views via np.split."""
-        flat, lens, offsets = _flat_tokens(batch["text"])
+        flat, lens, starts = _flat_tokens(batch["text"])
         umax = np.iinfo(np.uint64).max
         d = len(batch)
+        sig = np.full((d, self.num_perm), umax, dtype=np.uint64)
         if len(flat) == 0:
-            sig = np.full((d, self.num_perm), umax, dtype=np.uint64)
             toks = [np.empty(0, dtype=np.uint64)] * d
         else:
             uniq, inv = np.unique(flat, return_inverse=True)
             hv = _hash_str_array(uniq)
             perm = (hv[:, None] * self.a[None, :] + self.b[None, :]) % self.p
-            sig = np.minimum.reduceat(perm[inv], offsets, axis=0)
-            sig[lens == 0] = umax
+            sig[lens > 0] = np.minimum.reduceat(perm[inv], starts, axis=0)
             hv_flat = hv[inv]
             doc_of = np.repeat(np.arange(d, dtype=np.int64), lens)
             order = np.lexsort((hv_flat, doc_of))
@@ -420,7 +425,7 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        flat, lens, offsets = _flat_tokens(batch["text"])
+        flat, lens, starts = _flat_tokens(batch["text"])
         sh = np.zeros(len(batch), dtype=np.uint64)
         if len(flat):
             hv = _hash_str_array(flat)
@@ -428,12 +433,12 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
             bits = np.unpackbits(
                 hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             ).astype(np.int64)
-            ones = np.add.reduceat(bits, offsets, axis=0)
-            votes = 2 * ones - lens[:, None]  # sum of ±1 per bit
-            sh = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
+            nz = lens > 0
+            ones = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * ones - lens[nz][:, None]  # sum of ±1 per bit
+            sh[nz] = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-            sh[lens == 0] = 0  # reduceat repeats neighbors on empty segments
         out = [format(int(x), "016x") for x in sh]
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
 

@@ -14,6 +14,7 @@ report of scripts/combine_csv.py:55-62,78-82.
 from __future__ import annotations
 
 import os
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -56,7 +57,7 @@ def write_rollup(cfg: EngineConfig) -> str:
     table = rollup(cfg)
     os.makedirs(cfg.lineage_dir, exist_ok=True)
     path = os.path.join(cfg.lineage_dir, "lineage.parquet")
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path

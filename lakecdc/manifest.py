@@ -27,6 +27,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import uuid
 from typing import Any
 
 from lakecdc.config import EngineConfig
@@ -62,7 +63,7 @@ def commit(cfg: EngineConfig, record: dict[str, Any]) -> bool:
     if os.path.exists(path):
         return False
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(record, f)
         f.flush()
@@ -98,7 +99,7 @@ def mark_epoch_complete(cfg: EngineConfig, epoch: int) -> None:
     if os.path.exists(path):
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}"
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump({"epoch": epoch}, f)
     os.replace(tmp, path)

@@ -23,6 +23,7 @@ of those files at parameterized scale.
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -125,7 +126,7 @@ def write_segment(
     edir = os.path.join(wal_dir, f"epoch={epoch:09d}")
     os.makedirs(edir, exist_ok=True)
     p = os.path.join(edir, f"seg-{segment:03d}.parquet")
-    tmp = p + f".tmp.{os.getpid()}"
+    tmp = p + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(table, tmp)
     os.replace(tmp, p)
     return p

@@ -288,6 +288,39 @@ def test_read_changelog_tail(tmp_root):
     assert "source" in valid.columns
 
 
+def test_concurrent_appliers_converge(tmp_root):
+    """Two appliers racing over the same WAL (a failover/double-launch
+    scenario) must converge to the oracle state: merges are
+    deterministic, temp files are per-process, and the manifest commit
+    is an atomic create — the loser of each (epoch, partition) race
+    no-ops against byte-identical state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Ray's path resolution lazily imports fsspec's http module, which
+    # fails (no aiohttp in this container); two threads racing that
+    # failed import surface a bare ImportError Ray doesn't catch — a
+    # CPython partial-import artifact, not engine behavior. Pre-seed a
+    # stub module so the import is race-free.
+    import sys
+    import types
+
+    if "fsspec.implementations.http" not in sys.modules:
+        stub = types.ModuleType("fsspec.implementations.http")
+        stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = stub
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(apply_all, cfg) for _ in range(2)]
+        for f in futs:
+            f.result()
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    from lakecdc.validate import validate_lake
+
+    assert all(ok for _, ok, _ in validate_lake(cfg))
+
+
 def test_hot_key_skew_zipf(tmp_root):
     """Heavy Zipf skew (a=1.05 -> one dominant key) still matches the
     oracle; the batch-local combiner bounds the hot key's shuffle rows."""
