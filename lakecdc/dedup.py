@@ -449,36 +449,60 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
 # Embedding cosine near-dup (SQL-checkable via list_cosine_similarity)
 # ---------------------------------------------------------------------------
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.9, block_rows: int = 4096
+) -> pd.DataFrame:
     """Pairs (a < b) of embeddings with cosine similarity >= threshold
-    — exact brute force: each batch of vectors does one matmul against
-    the broadcast normalized matrix (ray.put once, read per task)."""
-    emb = read_small(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    — exact brute force, CORPUS-SHARDED: the normalized matrix is
+    split into row blocks, each stored as its own object-store ref,
+    and one task per block PAIR (i <= j) computes that tile's matmul —
+    a task fetches exactly two blocks, never the whole corpus, so the
+    plan holds when the matrix exceeds a worker's heap. (The
+    brute-force O(N²/2) tile count is the point of this operator — the
+    sub-quadratic path is the LSH/IVF family.)"""
+    emb = (
+        read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")  # block order == id order, so the a<b
+        .reset_index(drop=True)  # dedupe is purely within/forward tiles
+    )
     ids = emb["vec_id"].to_numpy()
     V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
     norms = np.linalg.norm(V, axis=1)
     Vn = V / np.maximum(norms, 1e-30)[:, None]
-    ref = ray.put((Vn, ids))
+    n_blocks = max(1, -(-len(ids) // block_rows))
+    bounds = np.linspace(0, len(ids), n_blocks + 1).astype(np.int64)
+    block_refs = [
+        ray.put((Vn[lo:hi], ids[lo:hi]))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
 
-    ds = rd.from_arrow(pa.table({"row": np.arange(len(ids), dtype=np.int64)}))
+    tiles = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    ds = rd.from_items([{"i": i, "j": j} for i, j in tiles])
 
-    def block(batch: pa.Table) -> pa.Table:
-        Vn, ids = ray.get(ref)
-        rows = batch["row"].to_numpy()
-        sims = Vn[rows] @ Vn.T
-        a_idx, b_idx = np.nonzero(sims >= threshold)
-        a_ids_all = ids[rows[a_idx]]
-        b_ids_all = ids[b_idx]
-        keep = a_ids_all < b_ids_all
-        return pa.table(
-            {
-                "vec_a": pa.array(a_ids_all[keep], type=pa.int64()),
-                "vec_b": pa.array(b_ids_all[keep], type=pa.int64()),
-                "cos_e6": pa.array(
-                    np.floor(sims[a_idx[keep], b_idx[keep]] * 1e6 + 0.5).astype(np.int64)
-                ),
-            }
-        )
+    def tile(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            Va, ida = ray.get(block_refs[i])
+            Vb, idb = ray.get(block_refs[j])
+            sims = Va @ Vb.T
+            a_idx, b_idx = np.nonzero(sims >= threshold)
+            a_ids, b_ids = ida[a_idx], idb[b_idx]
+            keep = a_ids < b_ids  # dedupes the diagonal tile too
+            outs.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(a_ids[keep], type=pa.int64()),
+                        "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+                        "cos_e6": pa.array(
+                            np.floor(
+                                sims[a_idx[keep], b_idx[keep]] * 1e6 + 0.5
+                            ).astype(np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
-    out = ds.map_batches(block, batch_format="pyarrow", batch_size=512)
+    out = ds.map_batches(tile, batch_format="pyarrow", batch_size=1)
     return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -206,6 +206,16 @@ def test_wav_kernel_roundtrip():
         MediaDecoder._decode_wav(bad + data)
 
 
+def test_embedding_near_dup_tiled_equals_single_block():
+    """The corpus-sharded block-pair plan produces exactly the
+    single-broadcast result (tile dedupe + id ordering correct)."""
+    from lakecdc.dedup import embedding_near_dup
+
+    tiled = embedding_near_dup(SF_DIR, threshold=0.38, block_rows=16)
+    whole = embedding_near_dup(SF_DIR, threshold=0.38, block_rows=10**9)
+    pd.testing.assert_frame_equal(tiled, whole)
+
+
 def test_ppm_kernel_roundtrip_and_resize():
     """Real P6 decode + 2x2 box resize against a numpy reference."""
     import numpy as np
