@@ -56,13 +56,57 @@ def _validation_mask(batch: pa.Table) -> pa.BooleanArray:
     return pc.fill_null(ok, False)
 
 
-def make_prep_fn(num_buckets: int):
+def make_prep_fn(num_buckets: int, merge_engine: str = "lww"):
     """The stateless pre-shuffle stage. Invalid events are not dropped
     silently (reference contrast: on_bad_lines="skip"): they are marked
     `_invalid`, shipped (they are rare), and counted per partition into
-    lineage by the merger."""
+    lineage by the merger.
+
+    Under ``merge_engine="partial"`` the stage validates with patch
+    semantics and compacts to CELL rows (per-field writer LSNs) via
+    the associative fold — the same combiner guarantee: at most one
+    row per key per batch reaches the shuffle."""
 
     _wal_cols = {"lsn", "op", "doc_id", "tokens", "n_tok", "source"}
+
+    if merge_engine == "partial":
+        from lakecdc.partial import (
+            events_to_cells,
+            fold_cells,
+            validation_mask_partial,
+        )
+
+        def prep_partial(batch: pa.Table) -> pa.Table:
+            batch = batch.select(
+                [c for c in batch.column_names if c in _wal_cols]
+            )
+            mask = validation_mask_partial(batch)
+            valid = fold_cells(events_to_cells(batch.filter(mask)))
+            valid = valid.append_column(
+                "_invalid", pa.array([False] * valid.num_rows, type=pa.bool_())
+            )
+            n_bad = batch.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+            if n_bad:
+                bad = batch.filter(pc.invert(mask))
+                bad = bad.set_column(
+                    bad.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.fill_null(bad["doc_id"], ""),
+                )
+                bad = bad.set_column(
+                    bad.schema.get_field_index("lsn"),
+                    "lsn",
+                    pc.fill_null(bad["lsn"], -1),
+                )
+                bad_cells = events_to_cells(bad).append_column(
+                    "_invalid", pa.array([True] * bad.num_rows, type=pa.bool_())
+                )
+                out = pa.concat_tables([valid, bad_cells])
+            else:
+                out = valid
+            return with_bucket(out, num_buckets)
+
+        return prep_partial
 
     def prep(batch: pa.Table) -> pa.Table:
         # Drop non-WAL columns (e.g. the hive `epoch` partition column
@@ -155,7 +199,13 @@ def merge_and_commit(
         return existing  # resume/retry: no-op
 
     n_invalid = pc.sum(pc.cast(events["_invalid"], pa.int64())).as_py() or 0
-    events = events.filter(pc.invert(events["_invalid"])).drop_columns(["_invalid"])
+    events = events.filter(
+        pc.fill_null(pc.invert(events["_invalid"]), False)
+    ).drop_columns(["_invalid"])
+    if cfg.merge_engine == "partial":
+        return _merge_and_commit_partial(
+            cfg, epoch, bucket, prev_files, events, n_invalid
+        )
     if events.num_rows:
         lsn_lo = pc.min(events["lsn"]).as_py()
         lsn_hi = pc.max(events["lsn"]).as_py()
@@ -217,6 +267,70 @@ def merge_and_commit(
             "rows_deleted": int(n_del),
             "rows_invalid": int(n_invalid),
             "bytes_written": int(bytes_written),
+            "rows_live": stats["rows_live"],
+            "rows_tombstoned": stats["rows_tombstoned"],
+        },
+    }
+    manifest.commit(cfg, record)
+    return record
+
+
+def _merge_and_commit_partial(
+    cfg: EngineConfig,
+    epoch: int,
+    bucket: int,
+    prev_files: list[str] | None,
+    cells: pa.Table,
+    n_invalid: int,
+) -> dict:
+    """Partial-engine reduce: fold this bucket's cell delta, merge (or
+    persist as a merge-on-read delta), atomic write, idempotent commit.
+    Same exactly-once contract as the LWW path."""
+    from lakecdc.partial import fold_cells, merge_partition_partial
+    from lakecdc.schemas import PARTIAL_FILE_SCHEMA
+
+    if cells.num_rows:
+        lsn_lo = pc.min(cells["_lsn"]).as_py()
+        lsn_hi = pc.max(cells["_lsn"]).as_py()
+    else:
+        lsn_lo = lsn_hi = -1
+    delta = fold_cells(cells)
+    n_del = pc.sum(pc.cast(delta["_deleted"], pa.int64())).as_py() or 0
+    n_up = delta.num_rows - n_del
+
+    kind = "base"
+    if cfg.write_mode == "mor" and prev_files:
+        merged = delta
+        live = pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0
+        stats = {"rows_live": int(live), "rows_tombstoned": merged.num_rows - int(live)}
+        kind = "delta"
+    else:
+        if prev_files:
+            lake_tbl = unify_concat(
+                [pq.read_table(f) for f in prev_files], PARTIAL_FILE_SCHEMA
+            )
+        else:
+            lake_tbl = None
+        merged, stats = merge_partition_partial(lake_tbl, delta)
+
+    path = cfg.partition_epoch_file(bucket, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+    os.replace(tmp, path)
+    record = {
+        "epoch": epoch,
+        "partition": bucket,
+        "kind": kind,
+        "lsn_watermark": lsn_hi,
+        "files": [path],
+        "lineage": {
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "rows_upserted": int(n_up),
+            "rows_deleted": int(n_del),
+            "rows_invalid": int(n_invalid),
+            "bytes_written": int(os.path.getsize(path)),
             "rows_live": stats["rows_live"],
             "rows_tombstoned": stats["rows_tombstoned"],
         },
@@ -293,7 +407,7 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     # (batch-local compaction works at any granularity — LWW is a
     # semigroup, the global per-bucket compact finishes the job).
     ds = ds.map_batches(
-        make_prep_fn(cfg.num_buckets),
+        make_prep_fn(cfg.num_buckets, cfg.merge_engine),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

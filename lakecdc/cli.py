@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
+        if name != "apply":
+            # every lake-touching command must read with the engine the
+            # lake was written with
+            s.add_argument(
+                "--merge-engine", choices=["lww", "partial"], default="lww",
+                dest="merge_engine",
+            )
         if name == "lookup":
             s.add_argument("--ids", required=True, help="comma-separated doc_ids")
             s.add_argument("--as-of", type=int, default=None, dest="as_of")
@@ -74,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument(
                 "--mode", choices=["cow", "mor"], default="cow",
                 help="cow: rewrite partitions; mor: write merge-on-read deltas",
+            )
+            s.add_argument(
+                "--merge-engine", choices=["lww", "partial"], default="lww",
+                dest="merge_engine",
+                help="lww: full-row last-writer-wins; partial: per-field "
+                "last-writer with op=patch partial updates",
             )
             s.add_argument("--fold", type=int, default=1)
             s.add_argument("--max-epoch", type=int, default=None)
@@ -91,7 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     from lakecdc.config import EngineConfig
 
-    cfg = EngineConfig(root=args.root, write_mode=getattr(args, "mode", "cow"))
+    cfg = EngineConfig(
+        root=args.root,
+        write_mode=getattr(args, "mode", "cow"),
+        merge_engine=getattr(args, "merge_engine", "lww"),
+    )
     cfg.ensure_dirs()
 
     if args.cmd == "synth":
@@ -218,9 +235,12 @@ def main(argv: list[str] | None = None) -> int:
             from lakecdc import oracle
             from lakecdc.lake import read_lake_local
 
-            oracle.assert_lake_equals_oracle(
-                read_lake_local(cfg), oracle.replay(cfg.wal_dir)
+            rep = (
+                oracle.replay_partial
+                if cfg.merge_engine == "partial"
+                else oracle.replay
             )
+            oracle.assert_lake_equals_oracle(read_lake_local(cfg), rep(cfg.wal_dir))
             print(json.dumps({"oracle_match": True}))
     finally:
         ray.shutdown()

@@ -45,13 +45,23 @@ def _compact_partition(
 ) -> dict:
     if manifest.is_committed(cfg, as_epoch, bucket, compaction=True):
         return manifest.read_record(cfg, as_epoch, bucket, compaction=True)["lineage"]
-    from lakecdc.merge import last_per_key
+    if cfg.merge_engine == "partial":
+        from lakecdc.partial import fold_cells, normalize_cells
+        from lakecdc.schemas import PARTIAL_FILE_SCHEMA
 
-    table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
-    # Fold the base+delta chain (merge-on-read) to current state first.
-    table = last_per_key(table, key="doc_id", order="_lsn")
-    dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
-    live = table.filter(pc.invert(table["_deleted"]))
+        table = fold_cells(
+            unify_concat([pq.read_table(f) for f in files], PARTIAL_FILE_SCHEMA)
+        )
+        dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
+        live = normalize_cells(table)
+    else:
+        from lakecdc.merge import last_per_key
+
+        table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
+        # Fold the base+delta chain (merge-on-read) to current state first.
+        table = last_per_key(table, key="doc_id", order="_lsn")
+        dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
+        live = table.filter(pc.invert(table["_deleted"]))
     path = cfg.partition_compact_file(bucket, as_epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"

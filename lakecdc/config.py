@@ -47,6 +47,11 @@ class EngineConfig:
     # the LWW merge of the manifest's file chain, so modes can be mixed
     # freely and compaction always returns to a single base.
     write_mode: str = "cow"
+    # Merge engine: "lww" (default) keeps the max-LSN full row per key;
+    # "partial" additionally understands op="patch" events that set only
+    # their non-null fields (Debezium-style partial images) — per-field
+    # last-writer-wins with delete fencing (lakecdc.merge fold_partial).
+    merge_engine: str = "lww"
     seed: int = 42
 
     @property
@@ -95,4 +100,10 @@ class EngineConfig:
 # scripts/superpac_ie_support.py:82 / individual_support.py:94.)
 OPS_UPSERT = ("insert", "update", "upsert")
 OP_DELETE = "delete"
+# "patch" (partial merge engine only): sets ONLY its non-null payload
+# fields; null fields inherit current state. A patch after a delete
+# resurrects the row with just its fields. Invalid (counted) under the
+# default LWW engine.
+OP_PATCH = "patch"
 VALID_OPS = frozenset(OPS_UPSERT) | {OP_DELETE}
+VALID_OPS_PARTIAL = VALID_OPS | {OP_PATCH}

@@ -40,10 +40,13 @@ from lakecdc import manifest, wal
 from lakecdc.apply import make_prep_fn, merge_and_commit
 from lakecdc.config import EngineConfig
 from lakecdc.evolve import unify_concat
-from lakecdc.schemas import LINEAGE_SCHEMA, WAL_SCHEMA_V1
+from lakecdc.schemas import LINEAGE_SCHEMA, PARTIAL_FILE_SCHEMA, WAL_SCHEMA_V1
 
 _WAL_V1_INVALID = pa.schema(
     list(WAL_SCHEMA_V1) + [("_invalid", pa.bool_())]
+)
+_PARTIAL_INVALID = pa.schema(
+    list(PARTIAL_FILE_SCHEMA) + [("_invalid", pa.bool_())]
 )
 
 
@@ -66,10 +69,12 @@ RETURN_GROUPS = 8
 
 
 @ray.remote
-def _map_files(files: list[str], num_buckets: int, n_groups: int) -> tuple:
+def _map_files(
+    files: list[str], num_buckets: int, n_groups: int, merge_engine: str = "lww"
+) -> tuple:
     """Read + prep a group of WAL files, split into n_groups
     bucket-range tables (see note above)."""
-    prep = make_prep_fn(num_buckets)
+    prep = make_prep_fn(num_buckets, merge_engine)
     # use_threads=False: tasks are 1-CPU; the default pyarrow pool
     # would oversubscribe 32 readers x N threads.
     tables = [pq.read_table(f, use_threads=False) for f in files]
@@ -103,7 +108,8 @@ def _reduce_bucket(
             parts.append(gp.slice(lo, hi - lo).drop_columns(["bucket"]))
     if not parts:
         return None  # untouched partition: carry forward, no rewrite
-    events = unify_concat(list(parts), _WAL_V1_INVALID)
+    schema = _PARTIAL_INVALID if cfg.merge_engine == "partial" else _WAL_V1_INVALID
+    events = unify_concat(list(parts), schema)
     return merge_and_commit(cfg, epoch, bucket, prev_files, events)
 
 
@@ -131,7 +137,9 @@ def apply_epochs_direct(
     G = min(RETURN_GROUPS, B)
     per = -(-B // G)
     map_out = [
-        _map_files.options(num_returns=G if G > 1 else None).remote(g, B, G)
+        _map_files.options(num_returns=G if G > 1 else None).remote(
+            g, B, G, cfg.merge_engine
+        )
         for g in groups
     ]
     if G == 1:

@@ -31,8 +31,22 @@ def lake_files(cfg: EngineConfig, up_to_epoch: int | None = None) -> list[str]:
     return [f for files in view.values() for f in files]
 
 
-def _merge_chain(files: list[str], include_meta: bool) -> pa.Table:
-    """LWW-fold one partition's file chain into its live rows."""
+def _merge_chain(
+    files: list[str], include_meta: bool, engine: str = "lww"
+) -> pa.Table:
+    """Fold one partition's file chain into its live rows (LWW
+    last-per-key, or the partial engine's per-field fold + visibility)."""
+    if engine == "partial":
+        from lakecdc.partial import fold_cells, live_view
+        from lakecdc.schemas import PARTIAL_FILE_SCHEMA
+
+        cells = fold_cells(
+            unify_concat(
+                [pq.read_table(f, use_threads=False) for f in files],
+                PARTIAL_FILE_SCHEMA,
+            )
+        )
+        return cells if include_meta else live_view(cells)
     table = unify_concat(
         [pq.read_table(f, use_threads=False) for f in files], LAKE_FILE_SCHEMA
     )
@@ -61,9 +75,12 @@ def read_lake(
         [{"files": files} for files in view.values()]
     )
 
+    engine = cfg.merge_engine
+
     def load(batch: pa.Table) -> pa.Table:
         tables = [
-            _merge_chain(list(files), include_meta) for files in batch["files"].to_pylist()
+            _merge_chain(list(files), include_meta, engine)
+            for files in batch["files"].to_pylist()
         ]
         return pa.concat_tables(tables) if tables else (
             LAKE_FILE_SCHEMA.empty_table() if include_meta else LAKE_SCHEMA.empty_table()
@@ -94,7 +111,7 @@ def lookup(
         files = view.get(b)
         if not files:
             continue
-        t = _merge_chain(files, include_meta=False)
+        t = _merge_chain(files, include_meta=False, engine=cfg.merge_engine)
         t = t.filter(pc.is_in(t["doc_id"], value_set=ids))
         if t.num_rows:
             tables.append(t)
@@ -112,6 +129,9 @@ def read_lake_local(
     view = manifest.partition_view(cfg, up_to_epoch)
     if not view:
         return LAKE_SCHEMA.empty_table().to_pandas()
-    tables = [_merge_chain(files, include_meta=False) for files in view.values()]
+    tables = [
+        _merge_chain(files, include_meta=False, engine=cfg.merge_engine)
+        for files in view.values()
+    ]
     df = pa.concat_tables(tables).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)

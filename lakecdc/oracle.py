@@ -67,20 +67,78 @@ def replay(wal_dir: str, max_epoch: int | None = None) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def replay_partial(wal_dir: str, max_epoch: int | None = None) -> pd.DataFrame:
+    """Replay oracle for the PARTIAL merge engine (lakecdc.partial):
+    patch sets only its non-null fields; full-row ops set every field;
+    a key is alive iff its latest event is not a delete (a patch after
+    a delete resurrects the row with just the patch's fields); fields
+    written before the newest delete are gone. Alive rows may have
+    null tokens/n_tok (patch-created rows)."""
+    from lakecdc.config import OP_PATCH, VALID_OPS_PARTIAL
+
+    events = read_all_events(wal_dir, max_epoch)
+    df = events.to_pandas().sort_values("lsn", kind="stable")
+    state: dict[str, dict | None] = {}
+    for op, doc_id, tokens, source in zip(
+        df["op"], df["doc_id"], df["tokens"], df["source"]
+    ):
+        if op not in VALID_OPS_PARTIAL or doc_id is None:
+            continue
+        if op == OP_DELETE:
+            state[doc_id] = None  # tombstone: clears every field
+            continue
+        if op == OP_PATCH:
+            cur = state.get(doc_id) or {"tokens": None, "source": None}
+            if tokens is not None:
+                cur = {**cur, "tokens": [int(t) for t in tokens]}
+            if source is not None:
+                cur = {**cur, "source": str(source)}
+            state[doc_id] = cur
+            continue
+        if tokens is None:
+            continue  # malformed full-row op
+        state[doc_id] = {
+            "tokens": [int(t) for t in tokens],
+            "source": None if source is None else str(source),
+        }
+    rows = [
+        {
+            "doc_id": k,
+            "tokens": v["tokens"],
+            "n_tok": None if v["tokens"] is None else len(v["tokens"]),
+            "source": v["source"],
+        }
+        for k, v in state.items()
+        if v is not None
+    ]
+    out = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _norm_scalar(x):
+    return None if x is None or (isinstance(x, float) and pd.isna(x)) else x
+
+
 def assert_lake_equals_oracle(lake_df: pd.DataFrame, oracle_df: pd.DataFrame) -> None:
-    """Per-row equality including exact token arrays."""
+    """Per-row equality including exact token arrays. Tolerates null
+    tokens/n_tok (the partial engine's patch-created rows)."""
     lake_df = lake_df.sort_values("doc_id").reset_index(drop=True)
     assert len(lake_df) == len(oracle_df), (
         f"row count {len(lake_df)} != oracle {len(oracle_df)}"
     )
     assert list(lake_df["doc_id"]) == list(oracle_df["doc_id"])
-    assert list(lake_df["n_tok"]) == list(oracle_df["n_tok"])
+    got_ntok = [
+        None if _norm_scalar(x) is None else int(x) for x in lake_df["n_tok"]
+    ]
+    want_ntok = [
+        None if _norm_scalar(x) is None else int(x) for x in oracle_df["n_tok"]
+    ]
+    assert got_ntok == want_ntok
     assert [
-        None if s is None or (isinstance(s, float) and pd.isna(s)) else str(s)
-        for s in lake_df["source"]
+        None if _norm_scalar(s) is None else str(s) for s in lake_df["source"]
     ] == list(oracle_df["source"])
     for i, (got, want) in enumerate(zip(lake_df["tokens"], oracle_df["tokens"])):
-        got_l = [int(t) for t in got]
+        got_l = None if _norm_scalar(got) is None else [int(t) for t in got]
         if got_l != want:
             raise AssertionError(
                 f"token mismatch at row {i} doc_id={oracle_df['doc_id'][i]}"

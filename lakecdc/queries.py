@@ -712,6 +712,91 @@ def cdc_changelog_stats(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def cdc_partial_state(sf_dir: str) -> pd.DataFrame:
+    """Partial-update (patch) CDC semantics over the events stream,
+    run through the engine's OWN partial-merge kernels
+    (lakecdc.partial: events_to_cells -> fold_cells -> live_view):
+
+      error    -> delete (fences older field writes)
+      signup / purchase -> full-row set of (value, props-key)
+      click    -> patch: sets value only
+      view     -> patch: sets props-key only
+
+    Final state per user: per-field last writer after the newest
+    delete; users whose latest event is an error are dead. Same
+    bucketed shape as cdc_lww_state.
+    """
+    from lakecdc.partial import events_to_cells, fold_cells, live_view
+
+    ds = read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+    def to_wal(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        et = t["event_type"]
+        is_del = pc.equal(et, "error")
+        is_click = pc.equal(et, "click")
+        is_view = pc.equal(et, "view")
+        op = pc.if_else(
+            is_del,
+            pa.scalar("delete"),
+            pc.if_else(pc.or_(is_click, is_view), pa.scalar("patch"), pa.scalar("upsert")),
+        )
+        vc = pc.cast(cents(t["value"]), pa.int32())
+        # single-element token list [value_cents]
+        vlist = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), vc.combine_chunks()
+        )
+        val_det = pc.invert(pc.or_(is_del, is_view))  # upsert | click
+        tokens = pc.if_else(val_det, vlist, pa.nulls(n, pa.list_(pa.int32())))
+        pk = pc.struct_field(
+            pc.extract_regex(t["props"], r"(?P<k>\d+)"), "k"
+        )  # digits of props; null when absent
+        src_det = pc.and_(
+            pc.invert(pc.or_(is_del, is_click)),  # upsert | view
+            pc.or_(pc.is_valid(pk), pc.invert(is_view)),  # digit-less view: no-op
+        )
+        source = pc.if_else(src_det, pk, pa.nulls(n, pa.string()))
+        out = pa.table(
+            {
+                "lsn": pc.cast(t["event_id"], pa.int64()),
+                "op": op,
+                "doc_id": pc.cast(t["user_id"], pa.string()),
+                "tokens": tokens,
+                "n_tok": pc.cast(pc.list_value_length(tokens), pa.int32()),
+                "source": source,
+            }
+        )
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int64())
+        return out.append_column("bucket", b)
+
+    def fold(g: pa.Table) -> pa.Table:
+        cells = fold_cells(events_to_cells(g.drop_columns(["bucket"])))
+        alive = cells.filter(pc.greater(cells["_lsn"], cells["_del_lsn"]))
+        view = live_view(cells)  # same alive set, fields fenced
+        return pa.table(
+            {
+                "user_id": pc.cast(view["doc_id"], pa.int64()),
+                "value_cents": pc.cast(
+                    pc.list_element(view["tokens"], 0), pa.int64()
+                ),
+                "props_k": pc.cast(view["source"], pa.int64()),
+                "lsn_watermark": alive["_lsn"],
+            }
+        )
+
+    out = (
+        ds.map_batches(to_wal, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    df = out.to_pandas()
+    df["value_cents"] = df["value_cents"].astype("Int64").astype("float64")
+    df["props_k"] = df["props_k"].astype("Int64").astype("float64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Merge-key degradation (schema-driven plan change)
 # ---------------------------------------------------------------------------

@@ -62,6 +62,7 @@ QUERIES: dict[str, Callable] = {
     "delimited_ingest": delimited.delimited_roundtrip,
     # --- CDC semantics over the events stream ---
     "cdc_lww_state": q.cdc_lww_state,
+    "cdc_partial_state": q.cdc_partial_state,
     "cdc_changelog_stats": q.cdc_changelog_stats,
     # --- wave 2: shuffle join, quantiles, windows, as-of, sampling ---
     "shuffle_join": q2.shuffle_join,
@@ -270,6 +271,32 @@ ORACLES: dict[str, str] = {
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
                 AND event_type <> 'error'
+    """,
+    "cdc_partial_state": f"""
+        WITH e AS (SELECT event_id AS lsn, user_id, event_type AS t,
+                          {_c('value')} AS vc,
+                          TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS pk
+                   FROM events),
+             d AS (SELECT user_id,
+                          MAX(CASE WHEN t='error' THEN lsn ELSE -1 END) AS del_lsn,
+                          MAX(lsn) AS max_lsn
+                   FROM e GROUP BY 1),
+             v AS (SELECT user_id, vc, lsn FROM e
+                   WHERE t IN ('signup','purchase','click')
+                   QUALIFY row_number() OVER (PARTITION BY user_id
+                                              ORDER BY lsn DESC) = 1),
+             p AS (SELECT user_id, pk, lsn FROM e
+                   WHERE t IN ('signup','purchase')
+                      OR (t = 'view' AND pk IS NOT NULL)
+                   QUALIFY row_number() OVER (PARTITION BY user_id
+                                              ORDER BY lsn DESC) = 1)
+        SELECT d.user_id,
+               CASE WHEN v.lsn > d.del_lsn THEN v.vc END AS value_cents,
+               CASE WHEN p.lsn > d.del_lsn THEN p.pk END AS props_k,
+               d.max_lsn AS lsn_watermark
+        FROM d LEFT JOIN v ON d.user_id = v.user_id
+               LEFT JOIN p ON d.user_id = p.user_id
+        WHERE d.max_lsn > d.del_lsn
     """,
     "cdc_changelog_stats": """
         SELECT user_id, COUNT(*) AS n_events,

@@ -47,6 +47,27 @@ WAL_SCHEMA_V0 = pa.schema(
 # analogue of scripts/merge_support.py:17-36.
 WAL_SCHEMA_V1 = pa.schema(list(WAL_SCHEMA_V0) + [("source", pa.string())])
 
+# Physical lake-file schema for the PARTIAL-UPDATE merge engine
+# (merge_engine="partial"): per-field writer LSNs make the per-field
+# last-writer fold order-independent (each component is an argmax /
+# max, so the fold is associative); `_del_lsn` records the newest
+# delete, and field visibility (field_lsn > _del_lsn) plus row
+# liveness (_lsn > _del_lsn) are applied at READ time, keeping the
+# stored state a pure semigroup fold.
+PARTIAL_FILE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+        ("_lsn", pa.int64()),
+        ("_del_lsn", pa.int64()),
+        ("_tokens_lsn", pa.int64()),
+        ("_source_lsn", pa.int64()),
+        ("_deleted", pa.bool_()),
+    ]
+)
+
 MANIFEST_SCHEMA = pa.schema(
     [
         ("epoch", pa.int64()),

@@ -62,6 +62,7 @@ def generate_segment(
     vocab: int = 50_257,
     evolution_epoch: int | None = None,
     p_invalid: float = 0.0,
+    p_patch: float = 0.0,
 ) -> pa.Table:
     """One SEGMENT of one epoch's events (contiguous LSN sub-range),
     independently seeded by (seed, epoch, segment) so segments generate
@@ -114,6 +115,39 @@ def generate_segment(
                 keep, toks, pa.nulls(n, type=pa.list_(pa.int32()))
             )
             table = table.set_column(3, "tokens", toks)
+
+    if p_patch > 0:
+        # Partial-update stream: a fraction of events become patches
+        # that set only a subset of fields (tokens-only, source-only,
+        # or both) — the merge_engine="partial" exercise.
+        pc2 = pa.compute
+        op_np = table["op"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_p = (rng.random(n) < p_patch) & (op_np != "garbage")
+        cur_op = op_np.astype(object)
+        cur_op[is_p] = "patch"
+        table = table.set_column(1, "op", pa.array(cur_op.astype(str)))
+        u = rng.random(n)
+        toks = table["tokens"].combine_chunks()
+        if evolved:
+            tok_null = is_p & (u < 0.35)  # source-only patch
+            src_null = is_p & (u >= 0.35) & (u < 0.7)  # tokens-only patch
+            src = pc2.if_else(
+                pa.array(~src_null),
+                table["source"].combine_chunks(),
+                pa.nulls(n, type=pa.string()),
+            )
+            table = table.set_column(
+                table.schema.get_field_index("source"), "source", src
+            )
+        else:
+            tok_null = np.zeros(n, dtype=bool)  # v0 patches: tokens-only
+        toks = pc2.if_else(
+            pa.array(~tok_null), toks, pa.nulls(n, type=pa.list_(pa.int32()))
+        )
+        table = table.set_column(3, "tokens", toks)
+        table = table.set_column(
+            4, "n_tok", pc2.cast(pc2.list_value_length(toks), pa.int32())
+        )
     return table
 
 
