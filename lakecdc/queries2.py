@@ -116,6 +116,100 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def session_window(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (gap-based): per user, consecutive events closer
+    than ``gap_minutes`` belong to one session. The streaming-engine
+    operator Ray Data lacks natively, composed as: bucket by key ->
+    per-bucket vectorized session assignment (sort + gap cumsum) ->
+    grouped aggregate. Order within a user is (ts, event_id) so ties
+    are deterministic.
+    """
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    P = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
+        )
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap
+        sess_global = np.cumsum(brk)
+        # session ids restart at 1 per user
+        first_of_user = np.where(new_user, sess_global, 0)
+        sess = sess_global - np.maximum.accumulate(first_of_user) + 1
+        g = g.assign(
+            session_id=sess.astype("int64"),
+            value_cents=np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64"),
+        )
+        out = (
+            g.groupby(["user_id", "session_id"], as_index=False)
+            .agg(
+                session_start=("ts", "min"),
+                n_events=("event_id", "size"),
+                sum_value_cents=("value_cents", "sum"),
+            )
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    df = (
+        ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    df["session_start"] = df["session_start"].astype("datetime64[us]")
+    return df
+
+
+def hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) window: size 2h, hop 1h — every event lands in
+    TWO windows, emitted by concatenating the two shifted window-start
+    assignments before one grouped aggregate (the flat_map-then-reduce
+    shape; no per-row Python)."""
+    ev = read(sf_dir, "events", ["ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        vc = cents(t["value"])
+        shifted = pc.add(hour, pa.scalar(-3600_000_000, type=pa.duration("us")))
+        return pa.table(
+            {
+                "window_start": pa.concat_arrays(
+                    [
+                        pc.cast(hour, pa.timestamp("us")).combine_chunks(),
+                        pc.cast(shifted, pa.timestamp("us")).combine_chunks(),
+                    ]
+                ),
+                "value_cents": pa.concat_arrays(
+                    [vc.combine_chunks() if isinstance(vc, pa.ChunkedArray) else vc] * 2
+                ),
+            }
+        )
+
+    out = (
+        ev.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(
+            Sum("value_cents", alias_name="sum_value_cents"),
+            Count(alias_name="n_events"),
+        )
+    )
+    df = out.to_pandas()
+    df["sum_value_cents"] = df["sum_value_cents"].astype("int64")
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return df
+
+
 def asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each event, the customer's most recent order at
     or before the event time (match on key, nearest earlier ts) —

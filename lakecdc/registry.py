@@ -69,6 +69,8 @@ QUERIES: dict[str, Callable] = {
     "bloom_semi_join": q2.bloom_semi_join,
     "quantiles": q2.quantiles,
     "tumbling_window": q2.tumbling_window,
+    "session_window": q2.session_window,
+    "hopping_window": q2.hopping_window,
     "asof_join": q2.asof_join,
     "sampled_stats": q2.sampled_stats,  # deterministic hash-predicate sample
     # --- text analysis ---
@@ -329,6 +331,29 @@ ORACLES: dict[str, str] = {
         SELECT user_id, date_trunc('day', ts) AS window_start,
                {_s(_c('value'))} AS sum_value_cents, COUNT(*) AS n_events
         FROM events GROUP BY 1, 2
+    """,
+    "session_window": f"""
+        WITH s AS (SELECT user_id, ts, event_id, {_c('value')} AS vc,
+                          CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+                   FROM s)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, COUNT(*) AS n_events,
+               {_s('vc')} AS sum_value_cents
+        FROM g GROUP BY 1, 2
+    """,
+    "hopping_window": f"""
+        SELECT window_start, {_s('vc')} AS sum_value_cents, COUNT(*) AS n_events
+        FROM (SELECT date_trunc('hour', ts) AS window_start, {_c('value')} AS vc
+              FROM events
+              UNION ALL
+              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, {_c('value')}
+              FROM events)
+        GROUP BY 1
     """,
     "asof_join": f"""
         SELECT e.event_id, e.user_id, o.o_orderkey,
