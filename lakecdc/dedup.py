@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket: int = 200,
+    est_margin: float | None = 0.15,
 ) -> pd.DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with
     exact token-set Jaccard. Output (doc_a, doc_b, jaccard_e6) for
@@ -370,9 +371,10 @@ def minhash_lsh_pairs(
         ids_sorted, tok_offsets, tok_values, sig_mat = ray.get(pack_ref)
         ra = np.searchsorted(ids_sorted, batch["doc_a"].to_numpy())
         rb = np.searchsorted(ids_sorted, batch["doc_b"].to_numpy())
-        est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
-        m = est >= threshold - 0.15
-        batch, ra, rb = batch[m], ra[m], rb[m]
+        if est_margin is not None:
+            est = (sig_mat[ra] == sig_mat[rb]).mean(axis=1)
+            m = est >= threshold - est_margin
+            batch, ra, rb = batch[m], ra[m], rb[m]
         inter = np.array(
             [
                 len(

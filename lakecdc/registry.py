@@ -10,7 +10,16 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from lakecdc import ann, dedup, delimited, multimodal, queries as q, queries2 as q2, text
+from lakecdc import (
+    ann,
+    dedup,
+    delimited,
+    multimodal,
+    queries as q,
+    queries2 as q2,
+    sketch,
+    text,
+)
 from lakecdc.flagship import run_flagship
 
 _C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
@@ -81,8 +90,19 @@ QUERIES: dict[str, Callable] = {
     # --- dedup family ---
     "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
     "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.9),
+    # uncapped buckets + no estimate prune: banding miss probability is
+    # (1 - 0.9^4)^16 ≈ 4e-8 per true pair, so on deterministic inputs
+    # the verified output EQUALS the exact all-pairs query — letting the
+    # LSH path share the exact-Jaccard SQL oracle (driver value check)
+    "minhash_lsh_verified": lambda sf: dedup.minhash_lsh_pairs(
+        sf, threshold=0.9, max_bucket=10**9, est_margin=None
+    ),
     "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
     "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.38),
+    # --- mergeable sketches (approximate: accuracy pinned in pytest) ---
+    "hll_distinct": sketch.hll_distinct,  # rows-only
+    "kmv_distinct": sketch.kmv_distinct,  # rows-only
+    "heavy_hitters": sketch.heavy_hitters,  # rows-only
     # --- similarity search ---
     "ann_topk": ann.ann_topk,
     "ann_ivf": ann.ann_ivf,  # approximate: rows-only
@@ -393,6 +413,21 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY 1
     """,
     "jaccard_dupes": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                     FROM documents),
+             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                       FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(CAST(i AS DOUBLE)/(sa.sz+sb.sz-i)*1e6 + 0.5) AS BIGINT) AS jaccard_e6
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) >= 0.9
+    """,
+    # same oracle as jaccard_dupes: see the QUERIES note — the
+    # unpruned LSH path is exactly-equal to the all-pairs exact query
+    "minhash_lsh_verified": """
         WITH tok AS (SELECT doc_id,
                             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
                      FROM documents),
