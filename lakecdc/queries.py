@@ -393,48 +393,55 @@ def multiway_left_join(sf_dir: str) -> pd.DataFrame:
     (scripts/merge_support.py:244-277). The universe (customer) keeps
     zero-support members — the `no_support` rows.
     """
-    orders_tot = (
-        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda t: pa.table(
-                {"key": t["o_custkey"], "order_cents": cents(t["o_totalprice"])}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("key")
-        .aggregate(Sum("order_cents", alias_name="order_cents"))
-        .to_pandas()
+    # Both fact streams feed ONE union -> ONE groupby (two conditional
+    # sums), halving the pipeline and shuffle count vs aggregating each
+    # source separately; the tiny per-key result then joins the
+    # broadcast-bounded universe on the driver (the reference's
+    # dim-side assumption; the no-driver-merge variant is
+    # multiway_left_join_at_scale).
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["o_custkey"],
+                "order_cents": cents(t["o_totalprice"]),
+                "purchase_cents": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    ev_tot = (
-        read(sf_dir, "events", ["user_id", "event_type", "value"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["user_id"],
-                    "purchase_cents": pc.if_else(
-                        pc.equal(t["event_type"], "purchase"),
-                        cents(t["value"]),
-                        pa.scalar(0, type=pa.int64()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    events = read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["user_id"],
+                "order_cents": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "purchase_cents": pc.if_else(
+                    pc.equal(t["event_type"], "purchase"),
+                    cents(t["value"]),
+                    pa.scalar(0, type=pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = (
+        orders.union(events)
         .groupby("key")
-        .aggregate(Sum("purchase_cents", alias_name="purchase_cents"))
+        .aggregate(
+            Sum("order_cents", alias_name="order_cents"),
+            Sum("purchase_cents", alias_name="purchase_cents"),
+        )
         .to_pandas()
     )
     universe = read_small(
         sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]
     ).to_pandas()
     df = universe.merge(
-        orders_tot, left_on="c_custkey", right_on="key", how="left"
+        totals, left_on="c_custkey", right_on="key", how="left"
     ).drop(columns=["key"])
-    df = df.merge(ev_tot, left_on="c_custkey", right_on="key", how="left").drop(
-        columns=["key"]
-    )
     for c in ["order_cents", "purchase_cents"]:
         df[c] = df[c].fillna(0).astype("int64")
     df["total_support_cents"] = df["order_cents"] + df["purchase_cents"]
