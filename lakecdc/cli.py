@@ -60,7 +60,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
-        "lookup", "changelog",
+        "lookup", "changelog", "refresh-view",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -208,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0 if all(ok for _, ok, _ in results) else 1
+        elif args.cmd == "refresh-view":
+            from lakecdc import matview
+
+            r = matview.refresh(cfg)
+            print(json.dumps(r))
         elif args.cmd == "lookup":
             from lakecdc.lake import lookup
 
