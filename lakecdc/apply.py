@@ -260,6 +260,7 @@ def merge_and_commit(
         "kind": kind,
         "lsn_watermark": lsn_hi,
         "files": [path],
+        "key_range": _key_range(merged),
         "lineage": {
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,
@@ -273,6 +274,15 @@ def merge_and_commit(
     }
     manifest.commit(cfg, record)
     return record
+
+
+def _key_range(merged: pa.Table) -> list[str] | None:
+    """Zone map for the written file: [min_doc_id, max_doc_id]. Merge
+    outputs are key-sorted, so this is O(1). lookup() skips chain
+    files whose range can't contain a requested key."""
+    if merged.num_rows == 0:
+        return None
+    return [merged["doc_id"][0].as_py(), merged["doc_id"][-1].as_py()]
 
 
 def _merge_and_commit_partial(
@@ -324,6 +334,7 @@ def _merge_and_commit_partial(
         "kind": kind,
         "lsn_watermark": lsn_hi,
         "files": [path],
+        "key_range": _key_range(merged),
         "lineage": {
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,

@@ -67,6 +67,8 @@ def _compact_partition(
     tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
     os.replace(tmp, path)
+    from lakecdc.apply import _key_range
+
     record = {
         "epoch": as_epoch,
         "partition": bucket,
@@ -74,6 +76,7 @@ def _compact_partition(
         "compaction": True,
         "lsn_watermark": watermark,
         "files": [path],
+        "key_range": _key_range(live),
         "lineage": {
             "lsn_lo": -1,
             "lsn_hi": watermark,

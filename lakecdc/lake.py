@@ -89,26 +89,46 @@ def read_lake(
     return parts.map_batches(load, batch_size=1, batch_format="pyarrow")
 
 
+def _prune_chain(entries: list[dict], wanted: list[str]) -> list[str]:
+    """Zone-map skip: keep only chain files whose [lo, hi] key range
+    can contain a requested key (unknown range => keep). Correct
+    because the per-key fold ignores files holding none of the
+    requested keys."""
+    keep: list[str] = []
+    for e in entries:
+        kr = e.get("key_range")
+        if kr is None or any(kr[0] <= k <= kr[1] for k in wanted):
+            keep.extend(e["files"])
+    return keep
+
+
 def lookup(
     cfg: EngineConfig,
     doc_ids: list[str],
     up_to_epoch: int | None = None,
 ) -> pd.DataFrame:
-    """Point lookup with PARTITION PRUNING: hash the requested keys to
-    their buckets and read only those partitions' file chains — a
-    lookup of k keys touches at most k partitions, never the lake.
+    """Point lookup with PARTITION + FILE PRUNING: hash the requested
+    keys to their buckets, read only those partitions' chains, and
+    within a chain skip files whose manifest zone map ([min, max]
+    doc_id) excludes every requested key — a lookup of k keys touches
+    at most k partitions and only the overlapping files of each.
     (The same pruning a 100 TB cluster relies on: bucket = the one
     partitioning key, so routing is metadata-only.)"""
     from lakecdc.shuffle import bucket_of
 
     if not doc_ids:
         return LAKE_SCHEMA.empty_table().to_pandas()
-    ids = pa.array(sorted(set(doc_ids)))
-    buckets = set(bucket_of(ids, cfg.num_buckets).tolist())
-    view = manifest.partition_view(cfg, up_to_epoch)
+    wanted = sorted(set(doc_ids))
+    ids = pa.array(wanted)
+    bucket_arr = bucket_of(ids, cfg.num_buckets)
+    chains = manifest.partition_chain_stats(cfg, up_to_epoch)
     tables = []
-    for b in buckets:
-        files = view.get(b)
+    for b in sorted(set(bucket_arr.tolist())):
+        entries = chains.get(b)
+        if not entries:
+            continue
+        in_bucket = [w for w, bb in zip(wanted, bucket_arr) if bb == b]
+        files = _prune_chain(entries, in_bucket)
         if not files:
             continue
         t = _merge_chain(files, include_meta=False, engine=cfg.merge_engine)

@@ -178,6 +178,42 @@ def partition_view(
     return view
 
 
+def partition_chain_stats(
+    cfg: EngineConfig, up_to_epoch: int | None = None
+) -> dict[int, list[dict]]:
+    """Like partition_view, but each chain entry keeps its record's
+    zone map: {"files": [...], "key_range": [lo, hi] | None}. Readers
+    use the range to SKIP chain files that cannot contain a requested
+    key (correct because the per-key fold is unaffected by files
+    holding none of the requested keys); a missing range (older lakes)
+    means "cannot skip"."""
+    chains: dict[int, list[tuple[int, int, str, dict]]] = {}
+    for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
+        epoch = int(os.path.basename(edir).split("=")[1])
+        if up_to_epoch is not None and epoch > up_to_epoch:
+            continue
+        for order, pattern in ((0, "part-*.json"), (1, "compact-*.json")):
+            for p in glob.glob(os.path.join(edir, pattern)):
+                partition = int(os.path.basename(p).split("-")[1].split(".")[0])
+                with open(p) as f:
+                    rec = json.load(f)
+                entry = {"files": rec["files"], "key_range": rec.get("key_range")}
+                chains.setdefault(partition, []).append(
+                    (epoch, order, rec.get("kind", "base"), entry)
+                )
+    view: dict[int, list[dict]] = {}
+    for partition, entries in chains.items():
+        entries.sort(key=lambda t: (t[0], t[1]))
+        out: list[dict] = []
+        for _, _, kind, entry in entries:
+            if kind == "base":
+                out = [entry]
+            else:
+                out.append(entry)
+        view[partition] = out
+    return view
+
+
 def resume_point(cfg: EngineConfig) -> int:
     """The checkpoint: lowest epoch not fully committed is unknowable
     without the event stream, so resume-by-replay re-runs from the

@@ -253,6 +253,35 @@ def test_point_lookup_prunes_and_matches_oracle(tmp_root):
     assert lookup(cfg, ["no-such-doc"]).empty
 
 
+def test_zone_maps_recorded_and_prune(tmp_root):
+    """Commits carry [min,max] doc_id zone maps; lookup's chain pruning
+    keeps exactly the overlapping files and returns identical rows."""
+    from lakecdc.lake import _prune_chain, lookup
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    recs = list(manifest.snapshot(cfg).values())
+    assert all(
+        r.get("key_range") and r["key_range"][0] <= r["key_range"][1] for r in recs
+    )
+    # pure pruning logic
+    entries = [
+        {"files": ["a"], "key_range": ["doc00", "doc10"]},
+        {"files": ["b"], "key_range": ["doc50", "doc60"]},
+        {"files": ["c"], "key_range": None},  # unknown: never skipped
+    ]
+    assert _prune_chain(entries, ["doc05"]) == ["a", "c"]
+    assert _prune_chain(entries, ["doc55", "doc99"]) == ["b", "c"]
+    assert _prune_chain(entries, ["zzz"]) == ["c"]
+    # end-to-end: pruned lookup equals the oracle subset
+    ora = oracle.replay(cfg.wal_dir)
+    some = ora["doc_id"].iloc[-3:].tolist()
+    got = lookup(cfg, some)
+    want = ora[ora["doc_id"].isin(some)].reset_index(drop=True)
+    oracle.assert_lake_equals_oracle(got, want)
+
+
 def test_read_changelog_tail(tmp_root):
     """The consumer change stream: validated events across an epoch
     range, schema-unified, invalid events excluded by default but
