@@ -134,15 +134,25 @@ def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
     return {b: ray.get(f) for b, f in futures.items()}
 
 
-def vacuum(cfg: EngineConfig) -> list[str]:
-    """Delete lake files not referenced by the CURRENT snapshot (drops
-    time travel to earlier epochs). Returns deleted paths."""
-    # NB: the reference set is the partition VIEW (base + delta
+def vacuum(cfg: EngineConfig, retain_epochs: int = 0) -> list[str]:
+    """Delete lake files not referenced by the current snapshot — or,
+    with ``retain_epochs=n``, by any as-of view of the last n+1
+    committed epochs (a time-travel retention window, the lakehouse
+    "vacuum older than" knob). Returns deleted paths."""
+    # NB: each reference set is the partition VIEW (base + delta
     # chains), not just each partition's latest record — deleting a
     # still-chained delta file would corrupt merge-on-read state.
+    edirs = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))
+    )
+    as_of_points = [None] if not edirs else [
+        e for e in edirs[-(retain_epochs + 1) :]
+    ] + [None]
     referenced = {
         os.path.realpath(f)
-        for files in manifest.partition_view(cfg).values()
+        for e in as_of_points
+        for files in manifest.partition_view(cfg, up_to_epoch=e).values()
         for f in files
     }
     deleted = []

@@ -32,11 +32,21 @@ def lake_files(cfg: EngineConfig, up_to_epoch: int | None = None) -> list[str]:
 
 
 def _merge_chain(
-    files: list[str], include_meta: bool, engine: str = "lww"
+    files: list[str],
+    include_meta: bool,
+    engine: str = "lww",
+    columns: list[str] | None = None,
 ) -> pa.Table:
     """Fold one partition's file chain into its live rows (LWW
-    last-per-key, or the partial engine's per-field fold + visibility)."""
+    last-per-key, or the partial engine's per-field fold + visibility).
+
+    ``columns`` prunes USER columns at the parquet read: the fold needs
+    only the merge-metadata columns, so e.g. a stats query over
+    (doc_id, n_tok) never reads the token payload bytes — the column
+    pruning that matters at 100 TB, where tokens dominate file size.
+    """
     if engine == "partial":
+        # the partial fold needs every cell column; no pruned variant
         from lakecdc.partial import fold_cells, live_view
         from lakecdc.schemas import PARTIAL_FILE_SCHEMA
 
@@ -46,14 +56,37 @@ def _merge_chain(
                 PARTIAL_FILE_SCHEMA,
             )
         )
-        return cells if include_meta else live_view(cells)
-    table = unify_concat(
-        [pq.read_table(f, use_threads=False) for f in files], LAKE_FILE_SCHEMA
-    )
+        out = cells if include_meta else live_view(cells)
+        if columns is not None and not include_meta:
+            keep = ["doc_id"] + [c for c in columns if c != "doc_id"]
+            out = out.select([c for c in out.column_names if c in keep])
+        return out
+    if columns is None:
+        schema = LAKE_FILE_SCHEMA
+        tables = [pq.read_table(f, use_threads=False) for f in files]
+    else:
+        want = set(columns) | {"doc_id", "_lsn", "_deleted"}  # fold columns
+        schema = pa.schema([f for f in LAKE_FILE_SCHEMA if f.name in want])
+        tables = []
+        for f in files:
+            avail = set(pq.ParquetFile(f).schema_arrow.names)
+            tables.append(
+                pq.read_table(
+                    f,
+                    use_threads=False,
+                    columns=[x.name for x in schema if x.name in avail],
+                )
+            )
+    table = unify_concat(tables, schema)
     table = last_per_key(table, key="doc_id", order="_lsn")
     table = table.filter(pc.invert(table["_deleted"]))
     if not include_meta:
-        table = table.select([f.name for f in LAKE_SCHEMA])
+        keep = (
+            [f.name for f in LAKE_SCHEMA]
+            if columns is None
+            else ["doc_id"] + [c for c in columns if c != "doc_id"]
+        )
+        table = table.select([c for c in keep if c in table.column_names])
     return table
 
 
@@ -61,16 +94,21 @@ def read_lake(
     cfg: EngineConfig,
     up_to_epoch: int | None = None,
     include_meta: bool = False,
+    columns: list[str] | None = None,
 ) -> rd.Dataset:
     """The live lake as a lazy Dataset: one read+merge task per
     partition (tombstones applied, metadata columns dropped unless
     ``include_meta``). ``up_to_epoch`` gives time travel to any past
-    committed epoch."""
+    committed epoch; ``columns`` prunes user columns AT THE PARQUET
+    READ (a (doc_id, n_tok) scan never reads token bytes)."""
     view = manifest.partition_view(cfg, up_to_epoch)
+    if columns is None:
+        empty = LAKE_FILE_SCHEMA if include_meta else LAKE_SCHEMA
+    else:
+        keep = {"doc_id"} | set(columns)
+        empty = pa.schema([f for f in LAKE_SCHEMA if f.name in keep])
     if not view:
-        return rd.from_arrow(
-            LAKE_FILE_SCHEMA.empty_table() if include_meta else LAKE_SCHEMA.empty_table()
-        )
+        return rd.from_arrow(empty.empty_table())
     parts = rd.from_items(
         [{"files": files} for files in view.values()]
     )
@@ -79,12 +117,10 @@ def read_lake(
 
     def load(batch: pa.Table) -> pa.Table:
         tables = [
-            _merge_chain(list(files), include_meta, engine)
+            _merge_chain(list(files), include_meta, engine, columns)
             for files in batch["files"].to_pylist()
         ]
-        return pa.concat_tables(tables) if tables else (
-            LAKE_FILE_SCHEMA.empty_table() if include_meta else LAKE_SCHEMA.empty_table()
-        )
+        return pa.concat_tables(tables) if tables else empty.empty_table()
 
     return parts.map_batches(load, batch_size=1, batch_format="pyarrow")
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyarrow.compute as pc
 import pytest
 
@@ -251,6 +252,26 @@ def test_point_lookup_prunes_and_matches_oracle(tmp_root):
     oracle.assert_lake_equals_oracle(got, want)
     assert lookup(cfg, []).empty
     assert lookup(cfg, ["no-such-doc"]).empty
+
+
+def test_read_lake_column_pruning(tmp_root):
+    """A (doc_id, n_tok) lake scan returns exactly the projection of
+    the full read — without reading token payload bytes — across the
+    schema-evolution boundary (v0 files lack `source`)."""
+    from lakecdc.lake import read_lake
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3, evolution_epoch=2)
+    apply_all(cfg)
+    pruned = (
+        read_lake(cfg, columns=["n_tok", "source"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(pruned.columns) == ["doc_id", "n_tok", "source"]
+    full = read_lake_local(cfg)[["doc_id", "n_tok", "source"]]
+    pd.testing.assert_frame_equal(pruned, full)
 
 
 def test_zone_maps_recorded_and_prune(tmp_root):

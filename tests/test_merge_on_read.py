@@ -192,6 +192,22 @@ def test_compact_refuses_unapplied_wal(tmp_root):
         compact(cfg)
 
 
+def test_vacuum_retention_window(tmp_root):
+    """vacuum(retain_epochs=n) keeps every file any as-of view of the
+    last n+1 epochs references — time travel inside the window
+    survives, outside it may not."""
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=4)
+    apply_all(cfg)
+    want_as_of_2 = oracle.replay(cfg.wal_dir, max_epoch=2)
+    deleted = vacuum(cfg, retain_epochs=1)  # keep epochs 2 and 3 views
+    assert deleted  # epoch 0/1 bases went away
+    oracle.assert_lake_equals_oracle(
+        read_lake_local(cfg, up_to_epoch=2), want_as_of_2
+    )
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
 def test_mor_validate_suite(tmp_root):
     from lakecdc.validate import validate_lake
 
