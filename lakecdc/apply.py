@@ -24,7 +24,6 @@ a hash-partitioned LWW merge.
 from __future__ import annotations
 
 import os
-import uuid
 from typing import Any
 
 import pyarrow as pa
@@ -32,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from lakecdc import manifest, wal
-from lakecdc.config import EngineConfig, OP_DELETE
+from lakecdc.config import EngineConfig, OP_DELETE, atomic_write
 from lakecdc.evolve import conform, unify_concat
 from lakecdc.merge import compact_events, merge_partition
 from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA
@@ -248,10 +247,9 @@ def merge_and_commit(
         merged, stats = merge_partition(lake_tbl, delta, schema=target)
 
     path = cfg.partition_epoch_file(bucket, epoch)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
-    os.replace(tmp, path)
+    atomic_write(
+        path, lambda tmp: pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+    )
     bytes_written = os.path.getsize(path)
 
     record = {
@@ -324,10 +322,9 @@ def _merge_and_commit_partial(
         merged, stats = merge_partition_partial(lake_tbl, delta)
 
     path = cfg.partition_epoch_file(bucket, epoch)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
-    os.replace(tmp, path)
+    atomic_write(
+        path, lambda tmp: pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+    )
     record = {
         "epoch": epoch,
         "partition": bucket,
@@ -394,6 +391,7 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     """
     if not epochs:
         return LINEAGE_SCHEMA.empty_table()
+    cfg.save_meta()  # pin/validate the lake's physical parameters
     epochs = sorted(epochs)
     epoch = epochs[-1]  # commit epoch
     if len(epochs) == 1:

@@ -65,10 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
         if name != "apply":
-            # every lake-touching command must read with the engine the
-            # lake was written with
+            # default None: the engine the lake was written with is
+            # recovered from <root>/engine.json (EngineConfig.load)
             s.add_argument(
-                "--merge-engine", choices=["lww", "partial"], default="lww",
+                "--merge-engine", choices=["lww", "partial"], default=None,
                 dest="merge_engine",
             )
         if name == "lookup":
@@ -83,10 +83,11 @@ def main(argv: list[str] | None = None) -> int:
                 help="cow: rewrite partitions; mor: write merge-on-read deltas",
             )
             s.add_argument(
-                "--merge-engine", choices=["lww", "partial"], default="lww",
+                "--merge-engine", choices=["lww", "partial"], default=None,
                 dest="merge_engine",
                 help="lww: full-row last-writer-wins; partial: per-field "
-                "last-writer with op=patch partial updates",
+                "last-writer with op=patch partial updates "
+                "(default: the engine the lake was created with, else lww)",
             )
             s.add_argument("--fold", type=int, default=1)
             s.add_argument("--max-epoch", type=int, default=None)
@@ -104,10 +105,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     from lakecdc.config import EngineConfig
 
-    cfg = EngineConfig(
-        root=args.root,
-        write_mode=getattr(args, "mode", "cow"),
-        merge_engine=getattr(args, "merge_engine", "lww"),
+    cfg = EngineConfig.load(
+        args.root,
+        write_mode=getattr(args, "mode", None),
+        merge_engine=getattr(args, "merge_engine", None),
     )
     cfg.ensure_dirs()
 
@@ -217,12 +218,25 @@ def main(argv: list[str] | None = None) -> int:
             from lakecdc.lake import lookup
 
             df = lookup(cfg, args.ids.split(","), up_to_epoch=args.as_of)
+
+            def _opt_int(x):
+                # partial-engine rows may have null n_tok (patch-created
+                # or delete-fenced fields)
+                import pandas as pd
+
+                return None if x is None or pd.isna(x) else int(x)
+
             print(
                 json.dumps(
                     {
                         "rows": len(df),
                         "docs": {
-                            r["doc_id"]: {"n_tok": int(r["n_tok"]), "source": r["source"]}
+                            r["doc_id"]: {
+                                "n_tok": _opt_int(r["n_tok"]),
+                                "source": None
+                                if r["source"] is None or r["source"] != r["source"]
+                                else r["source"],
+                            }
                             for r in df.to_dict("records")
                         },
                     }

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import glob
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -34,7 +33,7 @@ import pyarrow.parquet as pq
 import ray
 
 from lakecdc import manifest
-from lakecdc.config import EngineConfig
+from lakecdc.config import EngineConfig, atomic_write
 from lakecdc.evolve import unify_concat
 from lakecdc.schemas import LAKE_FILE_SCHEMA
 
@@ -63,10 +62,9 @@ def _compact_partition(
         dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
         live = table.filter(pc.invert(table["_deleted"]))
     path = cfg.partition_compact_file(bucket, as_epoch)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
-    os.replace(tmp, path)
+    atomic_write(
+        path, lambda tmp: pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
+    )
     from lakecdc.apply import _key_range
 
     record = {

@@ -12,6 +12,19 @@ import os
 from dataclasses import dataclass, field
 
 
+def atomic_write(path: str, write_fn) -> None:
+    """Write-temp + atomic rename with a per-writer-unique temp name
+    (pid alone collides across threads racing the same target — see
+    tests/test_engine_e2e.py concurrent-applier test). ``write_fn``
+    receives the temp path and does the writing."""
+    import uuid
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    os.replace(tmp, path)
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     """All paths + physical-plan knobs for one lake.
@@ -92,6 +105,58 @@ class EngineConfig:
     def ensure_dirs(self) -> None:
         for d in (self.lake_dir, self.wal_dir, self.manifest_dir, self.lineage_dir):
             os.makedirs(d, exist_ok=True)
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "engine.json")
+
+    def save_meta(self) -> None:
+        """Pin the lake's PHYSICAL parameters on first apply. Later
+        appliers must match: the bucket count is the hash layout and
+        the merge engine determines the file schema — silently applying
+        with a different value would corrupt or misroute. Readers
+        (CLI, EngineConfig.load) recover both without flags."""
+        import json
+
+        meta = {
+            "num_buckets": self.num_buckets,
+            "merge_engine": self.merge_engine,
+        }
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                existing = json.load(f)
+            for k, v in meta.items():
+                if existing.get(k) != v:
+                    raise ValueError(
+                        f"lake at {self.root} was created with {k}="
+                        f"{existing.get(k)!r}; this config says {v!r}"
+                    )
+            return
+        os.makedirs(self.root, exist_ok=True)
+        import uuid
+
+        tmp = self.meta_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    @classmethod
+    def load(cls, root: str, **overrides) -> "EngineConfig":
+        """Config for an EXISTING lake: physical parameters come from
+        engine.json (written at first apply); explicit non-None
+        overrides win (and save_meta re-validates them on apply)."""
+        import json
+
+        kwargs = {}
+        meta_path = os.path.join(root, "engine.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            kwargs.update(
+                {k: meta[k] for k in ("num_buckets", "merge_engine") if k in meta}
+            )
+        kwargs.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(root=root, **kwargs)
 
 
 # Operation vocabulary of the WAL. insert/update/upsert all carry a full

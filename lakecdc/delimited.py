@@ -135,8 +135,10 @@ def delimited_roundtrip(sf_dir: str) -> "pd.DataFrame":
 
 def drop_and_count_invalid(ds: rd.Dataset) -> tuple[rd.Dataset, int]:
     """Split the permissively-parsed stream: valid rows stream on,
-    invalid rows are COUNTED (never silently lost). The count is an
-    aggregate (no materialization of the valid side)."""
+    invalid rows are COUNTED (never silently lost). The validated
+    stream is materialized once so the count pass and the returned
+    valid side don't each re-read and re-coerce the source files."""
+    ds = ds.materialize()
     n_bad = ds.filter(expr="_invalid == True").count()
     good = ds.filter(expr="_invalid == False").drop_columns(["_invalid"])
     return good, int(n_bad)

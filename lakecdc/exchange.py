@@ -119,6 +119,7 @@ def apply_epochs_direct(
     """apply.apply_epochs semantics via the direct exchange."""
     if not epochs:
         return LINEAGE_SCHEMA.empty_table()
+    cfg.save_meta()  # pin/validate the lake's physical parameters
     epochs = sorted(epochs)
     epoch = epochs[-1]
     files = [

@@ -14,12 +14,11 @@ report of scripts/combine_csv.py:55-62,78-82.
 from __future__ import annotations
 
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from lakecdc.config import EngineConfig
+from lakecdc.config import EngineConfig, atomic_write
 from lakecdc.manifest import snapshot
 from lakecdc.schemas import LINEAGE_SCHEMA
 
@@ -57,9 +56,7 @@ def write_rollup(cfg: EngineConfig) -> str:
     table = rollup(cfg)
     os.makedirs(cfg.lineage_dir, exist_ok=True)
     path = os.path.join(cfg.lineage_dir, "lineage.parquet")
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    atomic_write(path, lambda tmp: pq.write_table(table, tmp))
     return path
 
 

@@ -27,10 +27,9 @@ from __future__ import annotations
 import glob
 import json
 import os
-import uuid
 from typing import Any
 
-from lakecdc.config import EngineConfig
+from lakecdc.config import EngineConfig, atomic_write
 
 
 def _record_path(
@@ -62,13 +61,13 @@ def commit(cfg: EngineConfig, record: dict[str, Any]) -> bool:
     )
     if os.path.exists(path):
         return False
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(record, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)  # atomic on POSIX
+    def w(tmp):
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+
+    atomic_write(path, w)
     return True
 
 
@@ -98,11 +97,9 @@ def mark_epoch_complete(cfg: EngineConfig, epoch: int) -> None:
     path = os.path.join(cfg.manifest_dir, f"epoch={epoch:09d}", "_complete.json")
     if os.path.exists(path):
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"epoch": epoch}, f)
-    os.replace(tmp, path)
+    atomic_write(
+        path, lambda tmp: json.dump({"epoch": epoch}, open(tmp, "w"))
+    )
 
 
 def epoch_complete(cfg: EngineConfig, epoch: int) -> bool:

@@ -29,14 +29,13 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 import pandas as pd
 import pyarrow as pa
 import ray
 
 from lakecdc import manifest
-from lakecdc.config import EngineConfig
+from lakecdc.config import EngineConfig, atomic_write
 from lakecdc.lake import _merge_chain
 
 VIEW_SCHEMA = pa.schema(
@@ -114,15 +113,16 @@ def refresh(cfg: EngineConfig) -> dict:
     os.makedirs(os.path.dirname(view_path), exist_ok=True)
     import pyarrow.parquet as pq
 
-    tmp = view_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(
-        pa.Table.from_pandas(out, schema=VIEW_SCHEMA, preserve_index=False), tmp
+    atomic_write(
+        view_path,
+        lambda tmp: pq.write_table(
+            pa.Table.from_pandas(out, schema=VIEW_SCHEMA, preserve_index=False), tmp
+        ),
     )
-    os.replace(tmp, view_path)
-    tmp = state_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"partitions": new_parts}, f)
-    os.replace(tmp, state_path)
+    atomic_write(
+        state_path,
+        lambda tmp: json.dump({"partitions": new_parts}, open(tmp, "w")),
+    )
     return {
         "partitions_refreshed": len(futures),
         "partitions_reused": reused,

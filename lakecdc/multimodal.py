@@ -124,8 +124,11 @@ class MediaDecoder:
 
     def _decode(self, payload: bytes) -> dict:
         if payload[:4] == b"RIFF":
-            w = self._decode_wav(payload)
-            return {"feat_len": w["n_samples"], "feat_sum": w["sum_samples"]}
+            try:
+                w = self._decode_wav(payload)
+                return {"feat_len": w["n_samples"], "feat_sum": w["sum_samples"]}
+            except (ValueError, struct.error):
+                pass  # RIFF-looking but not canonical WAV: treat as opaque
         if not self.decode_stub:
             raise NotImplementedError(
                 "compressed media decode requires PIL/soundfile, not in this container"

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
-from lakecdc.qutil import cents, read, read_small
+from lakecdc.qutil import cents, read, read_small, with_int_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +206,7 @@ def grouped_nunique(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int64())
-        return t.append_column("bucket", b)
+        return with_int_bucket(t, "o_custkey", 64)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -532,8 +531,7 @@ def priority_dedup(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["o_custkey"], 63), pa.int64())
-        return t.append_column("bucket", b)
+        return with_int_bucket(t, "o_custkey", 64)
 
     def best_per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -658,8 +656,7 @@ def cdc_lww_state(sf_dir: str) -> pd.DataFrame:
     # last_per_key call over a whole bucket of keys instead of one tiny
     # pandas task per key (the priority_dedup shape).
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int64())
-        return t.append_column("bucket", b)
+        return with_int_bucket(t, "user_id", 64)
 
     def lww(g: pa.Table) -> pa.Table:
         from lakecdc.merge import last_per_key

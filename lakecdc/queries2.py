@@ -12,7 +12,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from lakecdc.qutil import cents, read, read_small
+from lakecdc.qutil import cents, read, read_small, with_int_bucket
 
 
 def shuffle_join(sf_dir: str) -> pd.DataFrame:
@@ -128,9 +128,7 @@ def session_window(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     P = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], P - 1), pa.int64())
-        )
+        return with_int_bucket(t, "user_id", P)
 
     gap = np.timedelta64(gap_minutes * 60, "s")
 
@@ -247,11 +245,7 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
     oref = ray.put(by_bucket)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
-        return t.append_column(
-            "bucket", pc2.cast(pc2.bit_wise_and(t["user_id"], P - 1), pa.int64())
-        )
+        return with_int_bucket(t, "user_id", P)
 
     _EMPTY = pd.DataFrame(
         {

@@ -52,3 +52,15 @@ def np_e6(x: np.ndarray) -> np.ndarray:
 
 SQL_CENTS = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
 SQL_E6 = "CAST(FLOOR({x} * 1e6 + 0.5) AS BIGINT)"
+
+
+def with_int_bucket(t: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    """Append a `bucket` column for a non-negative INTEGER key:
+    key & (P-1) with P a power of two (== key % P for our keys). The
+    query-library analogue of lakecdc.shuffle.with_bucket (which
+    SipHashes string keys)."""
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be a power of 2"
+    b = pc.cast(pc.bit_wise_and(t[key], num_buckets - 1), pa.int64())
+    return t.append_column("bucket", b)
+
+

@@ -23,12 +23,12 @@ of those files at parameterized scale.
 from __future__ import annotations
 
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from lakecdc.config import atomic_write
 from lakecdc.schemas import WAL_SCHEMA_V0, WAL_SCHEMA_V1
 
 _OPS = np.array(["insert", "update", "delete", "upsert"])
@@ -160,9 +160,7 @@ def write_segment(
     edir = os.path.join(wal_dir, f"epoch={epoch:09d}")
     os.makedirs(edir, exist_ok=True)
     p = os.path.join(edir, f"seg-{segment:03d}.parquet")
-    tmp = p + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, p)
+    atomic_write(p, lambda tmp: pq.write_table(table, tmp))
     return p
 
 

@@ -59,9 +59,13 @@ def read_changelog(
     """
     import pyarrow.compute as pc
 
-    from lakecdc.apply import _validation_mask
     from lakecdc.evolve import conform
     from lakecdc.schemas import WAL_SCHEMA_V1
+
+    if cfg.merge_engine == "partial":
+        from lakecdc.partial import validation_mask_partial as _mask
+    else:
+        from lakecdc.apply import _validation_mask as _mask
 
     epochs = [
         e
@@ -85,7 +89,7 @@ def read_changelog(
 
     def prep(t):
         t = conform(t, WAL_SCHEMA_V1)
-        mask = _validation_mask(t)
+        mask = _mask(t)
         if include_invalid:
             return t.append_column(
                 "_invalid", pc.invert(mask)

@@ -139,6 +139,57 @@ def test_partial_compact_vacuum_lookup(tmp_root):
     oracle.assert_lake_equals_oracle(got, sub)
 
 
+def test_partial_changelog_keeps_patches(tmp_root):
+    """The consumer change stream must validate with the lake's engine:
+    patch events are VALID events on a partial lake, not counted drops
+    (regression: read_changelog used the LWW mask and silently dropped
+    every patch)."""
+    import pyarrow as pa
+    import ray
+
+    from lakecdc import wal as wal_mod
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2, p_patch=0.5)
+    df = pa.concat_tables(
+        ray.get(wal_mod.read_changelog(cfg).to_arrow_refs())
+    ).to_pandas()
+    total = sum(
+        len(x)
+        for x in [oracle.read_all_events(cfg.wal_dir).to_pandas()]
+    )
+    assert len(df) == total  # no invalid events synthesized -> all kept
+    assert (df["op"] == "patch").sum() > 0
+
+
+def test_engine_meta_pins_layout(tmp_root):
+    """First apply pins (num_buckets, merge_engine) in engine.json;
+    EngineConfig.load recovers them, and a mismatched applier errors
+    instead of corrupting the lake."""
+    import pytest as _pytest
+
+    from lakecdc.config import EngineConfig
+
+    cfg = make_cfg(tmp_root, num_buckets=4)
+    gen(cfg, n_epochs=1)
+    apply_all(cfg)
+    loaded = EngineConfig.load(tmp_root)
+    assert loaded.num_buckets == 4 and loaded.merge_engine == "partial"
+    # lookup without knowing the layout (the CLI path) still routes
+    ora = oracle.replay_partial(cfg.wal_dir)
+    some = ora["doc_id"].iloc[:3].tolist()
+    got = lookup(loaded, some)
+    oracle.assert_lake_equals_oracle(
+        got, ora[ora["doc_id"].isin(some)].reset_index(drop=True)
+    )
+    bad = dataclasses.replace(cfg, num_buckets=32)
+    with _pytest.raises(ValueError, match="num_buckets"):
+        apply_all(bad)
+    bad2 = dataclasses.replace(cfg, merge_engine="lww")
+    with _pytest.raises(ValueError, match="merge_engine"):
+        apply_all(bad2)
+
+
 # ---------------------------------------------------------------------------
 # Property suite: the cell fold vs a dict replay, any batch split
 # ---------------------------------------------------------------------------

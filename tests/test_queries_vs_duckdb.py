@@ -171,6 +171,20 @@ def test_media_decoder_stub_raises_without_stub():
         dec._decode(b"abc")
 
 
+def test_media_decoder_riff_text_falls_back_to_stub():
+    """A payload that merely STARTS with 'RIFF' (e.g. document text)
+    must fall through to the stub, not crash the WAV parser."""
+    from lakecdc.multimodal import MediaDecoder
+
+    dec = MediaDecoder(decode_stub=True)
+    out = dec._decode(b"RIFFLE through the pages of this document")
+    assert out["feat_len"] == 41
+    out2 = dec._decode(b"RIFF")  # truncated header
+    assert out2["feat_len"] == 4
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(decode_stub=False)._decode(b"RIFFLE not a wav")
+
+
 def test_wav_kernel_roundtrip():
     """The real decode kernel: a hand-built PCM-16 WAV parses back to
     its exact samples."""
