@@ -416,21 +416,41 @@ def minhash_lsh_pairs(
 # SimHash (rows-only)
 # ---------------------------------------------------------------------------
 
-def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
+def _md5_u64_array(a: np.ndarray) -> np.ndarray:
+    """Deterministic string->uint64 via md5's first 8 bytes (little-
+    endian) — the one 64-bit string hash DuckDB can reproduce exactly
+    (``md5_number_upper``), which is what makes ``simhash_verified``
+    SQL-oracle-checkable. Hashes each UNIQUE token once per batch, so
+    the Python-loop cost is O(vocab), not O(corpus)."""
+    uniq, inv = np.unique(a, return_inverse=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hs[inv]
+
+
+def simhash_fingerprints(sf_dir: str, hash_backend: str = "siphash") -> pd.DataFrame:
     """64-bit SimHash per document over token hashes — deterministic
     and fully vectorized per batch: all tokens hashed in one call,
     bits unpacked with np.unpackbits, per-doc bit votes via
     np.add.reduceat, fingerprint packed with one weighted sum. Output
     (doc_id, simhash) with simhash as a 16-hex string (stable across
-    engines)."""
+    engines).
+
+    ``hash_backend``: "siphash" (default, C-speed pandas hash) or
+    "md5" (per-unique-token md5 lower 64 bits — reproducible in SQL,
+    used by the driver-checked ``simhash_verified`` query)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    hash_fn = _md5_u64_array if hash_backend == "md5" else _hash_str_array
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         flat, lens, starts = _flat_tokens(batch["text"])
         sh = np.zeros(len(batch), dtype=np.uint64)
         if len(flat):
-            hv = _hash_str_array(flat)
+            hv = hash_fn(flat)
             # (T, 64) little-endian bits, matching (hv >> i) & 1
             bits = np.unpackbits(
                 hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"

@@ -37,6 +37,100 @@ def flagship_params(sf_dir: str) -> dict:
     }
 
 
+def run_flagship_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """The full CDC engine, driver-ORACLE-checkable: the WAL is derived
+    DETERMINISTICALLY from the sf dir's ``events`` table (pure integer
+    arithmetic on event_id — no RNG), so a DuckDB window-function
+    replay over the same table reproduces the exact final lake state
+    (registry oracle ``cdc_apply_events``). Every engine stage runs for
+    real: validate -> batch-local LWW combine -> hash shuffle ->
+    per-partition merge -> manifest commit -> schema evolution at
+    epoch 2 (WAL v0 files before, v1 after).
+
+    Derivation (mirrored in the SQL):
+      lsn    = event_id                    (unique total order)
+      doc_id = str(user_id)
+      op     = delete if event_type=='error'; insert/update/upsert
+               for signup/click/others (LWW-equivalent, routes F4)
+      epoch  = min(3, lsn * 4 // (max_lsn + 1))   (4 contiguous ranges)
+      tokens = [(lsn*31 + 7*i) % 1000 for i in range(lsn % 17 + 1)]
+      source = f"ev{epoch}" for epochs >= 2 (evolution), absent before
+
+    Returns live rows as (doc_id, n_tok, token_sum, tok_first,
+    tok_last, source) — integer token digests so the driver's value
+    hash covers the token arrays without hashing list columns.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from lakecdc.schemas import WAL_SCHEMA_V0, WAL_SCHEMA_V1
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = work_root or os.path.join("/tmp", f"lakecdc_events_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(root=root, num_buckets=16)
+    cfg.ensure_dirs()
+
+    ev = pq_mod.read_table(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    lsn = ev["event_id"].to_numpy().astype(np.int64)
+    user = ev["user_id"].to_numpy()
+    etype = np.asarray(ev["event_type"].to_pylist(), dtype=object)
+    epoch = np.minimum(3, lsn * 4 // (lsn.max() + 1))
+    op = np.full(len(lsn), "upsert", dtype=object)
+    op[etype == "error"] = "delete"
+    op[etype == "signup"] = "insert"
+    op[etype == "click"] = "update"
+    n = (lsn % 17 + 1).astype(np.int64)
+    is_del = op == "delete"
+    n_vis = np.where(is_del, 0, n)
+    offsets = np.concatenate([[0], np.cumsum(n_vis)]).astype(np.int32)
+    reps = np.repeat(lsn, n_vis)
+    pos = np.arange(len(reps)) - np.repeat(offsets[:-1].astype(np.int64), n_vis)
+    flat = ((reps * 31 + 7 * pos) % 1000).astype(np.int32)
+    # Deletes carry an EMPTY token list (the merge nulls delete
+    # payloads regardless, merge.events_to_lake_rows).
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+    for e in range(4):
+        m = epoch == e
+        cols = {
+            "lsn": pa.array(lsn[m]),
+            "op": pa.array(op[m], type=pa.string()),
+            "doc_id": pa.array(user[m].astype(str), type=pa.string()),
+            "tokens": tokens.filter(pa.array(m)),
+            "n_tok": pa.array(np.where(is_del[m], 0, n[m]).astype(np.int32)),
+        }
+        schema = WAL_SCHEMA_V0
+        if e >= 2:
+            src = np.where(is_del[m], None, f"ev{e}")
+            cols["source"] = pa.array(src, type=pa.string())
+            schema = WAL_SCHEMA_V1
+        seg_dir = os.path.join(cfg.wal_dir, f"epoch={e:09d}")
+        os.makedirs(seg_dir, exist_ok=True)
+        pq_mod.write_table(
+            pa.table(cols, schema=schema), os.path.join(seg_dir, "seg-0.parquet")
+        )
+
+    apply_all(cfg)
+    lake = read_lake_local(cfg)
+    toks = lake["tokens"]
+    out = pd.DataFrame(
+        {
+            "doc_id": lake["doc_id"],
+            "n_tok": lake["n_tok"].astype("int64"),
+            "token_sum": [int(np.sum(t)) if len(t) else 0 for t in toks],
+            "tok_first": [int(t[0]) if len(t) else -1 for t in toks],
+            "tok_last": [int(t[-1]) if len(t) else -1 for t in toks],
+            "source": lake["source"],
+        }
+    )
+    for c in ("token_sum", "tok_first", "tok_last"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def run_flagship(
     sf_dir: str, work_root: str | None = None, fresh: bool = True
 ) -> pd.DataFrame:

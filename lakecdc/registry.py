@@ -20,7 +20,7 @@ from lakecdc import (
     sketch,
     text,
 )
-from lakecdc.flagship import run_flagship
+from lakecdc.flagship import run_flagship, run_flagship_from_events
 
 _C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
 
@@ -38,6 +38,54 @@ def _s(x: str) -> str:
     widen must round-trip through this wrapper.
     """
     return f"CAST(SUM({x}) AS BIGINT)"
+
+
+_W64 = "18446744073709551616::HUGEINT"  # 2^64, the uint64 wraparound modulus
+
+
+def _mulmod(col: str, c: str) -> str:
+    """uint64 wraparound multiply (col * c) mod 2^64 in DuckDB: the
+    product of two 64-bit values overflows signed HUGEINT, so split col
+    into 32-bit halves — lo*c mod 2^64 + ((hi*c mod 2^32) << 32)."""
+    return (
+        f"CAST(((CAST({col} % 4294967296 AS HUGEINT) * {c}) % {_W64} + "
+        f"((CAST({col} // 4294967296 AS HUGEINT) * {c}) % 4294967296) "
+        f"* 4294967296) % {_W64} AS UBIGINT)"
+    )
+
+
+# splitmix64 constants (decimal: DuckDB has no hex literals):
+# 0xBF58476D1CE4E5B9, 0x94D049BB133111EB (lakecdc.text._mix64)
+_WINNOW_SQL = f"""
+    WITH pos AS (
+      SELECT doc_id, len(text) - 3 AS m,
+             unnest(generate_series(1, len(text) - 3)) AS p, text
+      FROM documents WHERE len(text) >= 4),
+    raw AS (
+      SELECT doc_id, m, p,
+        CAST((((CAST(ord(substr(text, p, 1)) AS HUGEINT) * 1099511628211
+               + ord(substr(text, p + 1, 1))) * 1099511628211
+               + ord(substr(text, p + 2, 1))) % {_W64} * 1099511628211
+               + ord(substr(text, p + 3, 1))) % {_W64} AS UBIGINT) AS h0
+      FROM pos),
+    m1 AS (SELECT doc_id, m, p, xor(h0, h0 >> 30) AS h1 FROM raw),
+    m2 AS (SELECT doc_id, m, p, {_mulmod('h1', '13787848793156543929')} AS h2 FROM m1),
+    m3 AS (SELECT doc_id, m, p, xor(h2, h2 >> 27) AS h3 FROM m2),
+    m4 AS (SELECT doc_id, m, p, {_mulmod('h3', '10723151780598845931')} AS h4 FROM m3),
+    mh AS (SELECT doc_id, m, p, xor(h4, h4 >> 31) AS h FROM m4),
+    wmin AS (
+      SELECT doc_id, p, m,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+      FROM mh),
+    fp AS (SELECT DISTINCT doc_id, sel FROM wmin WHERE p <= GREATEST(m - 5, 0) + 1),
+    agg AS (SELECT doc_id,
+                   string_agg(lower(hex(sel)), ',' ORDER BY sel) AS fingerprint,
+                   COUNT(*) AS n FROM fp GROUP BY 1)
+    SELECT d.doc_id, COALESCE(a.fingerprint, '') AS fingerprint,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_fingerprints
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 QUERIES: dict[str, Callable] = {
@@ -85,7 +133,7 @@ QUERIES: dict[str, Callable] = {
     # --- text analysis ---
     "token_count": text.token_count,
     "quality_score": text.quality_score,
-    "lang_id": text.lang_id,  # heuristic: rows-only
+    "lang_id": text.lang_id,  # deterministic heuristic, SQL-replayed below
     "fingerprint_census": text.fingerprint_census,
     # --- dedup family ---
     "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
@@ -97,7 +145,10 @@ QUERIES: dict[str, Callable] = {
     "minhash_lsh_verified": lambda sf: dedup.minhash_lsh_pairs(
         sf, threshold=0.9, max_bucket=10**9, est_margin=None
     ),
-    "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
+    "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only (SipHash backend)
+    # md5 hash backend: bit-identical to the DuckDB replay below
+    # (md5_number_upper == md5 digest's first 8 bytes little-endian)
+    "simhash_verified": lambda sf: dedup.simhash_fingerprints(sf, hash_backend="md5"),
     "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.38),
     # --- mergeable sketches (approximate: accuracy pinned in pytest) ---
     "hll_distinct": sketch.hll_distinct,  # rows-only
@@ -107,13 +158,16 @@ QUERIES: dict[str, Callable] = {
     "ann_topk": ann.ann_topk,
     "ann_ivf": ann.ann_ivf,  # approximate: rows-only
     "ann_lsh": ann.ann_lsh,  # approximate: rows-only
-    "winnowing_fingerprints": text.winnowing_fingerprints,  # rows-only
+    "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
     "media_image_features": multimodal.media_image_features,  # REAL numpy PPM kernel + resize
     # --- the engine itself ---
     "cdc_apply_tokens": run_flagship,  # oracle is pytest replay, rows-only here
+    # full engine, WAL derived deterministically from `events` — the
+    # driver hash-checks the final lake state against a SQL LWW replay
+    "cdc_apply_events": run_flagship_from_events,
 }
 
 
@@ -412,6 +466,31 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_fp
         FROM documents GROUP BY 1
     """,
+    # Exact SQL replay of text.LangId: distinct lowercase words scored
+    # against the per-language stopword profiles (generated from
+    # LangId.PROFILES so the two can't drift); argmax with
+    # lexicographic tie-break = the Python sorted-loop strict->.
+    "lang_id": f"""
+        WITH w AS (SELECT doc_id,
+                          unnest(list_distinct(regexp_split_to_array(
+                              trim(lower(text)), '\\s+'))) AS tok
+                   FROM documents),
+             p(plang, tok) AS (VALUES {", ".join(
+                 f"('{lang}','{wd}')"
+                 for lang, words in sorted(text.LangId.PROFILES.items())
+                 for wd in sorted(words))}),
+             sc AS (SELECT w.doc_id, p.plang, COUNT(*) AS s
+                    FROM w JOIN p USING (tok) GROUP BY 1, 2),
+             grid AS (SELECT d.doc_id, l.plang, COALESCE(sc.s, 0) AS s
+                      FROM documents d
+                      CROSS JOIN (SELECT DISTINCT plang FROM p) l
+                      LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.plang = l.plang),
+             best AS (SELECT doc_id, plang FROM grid
+                      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY s DESC, plang ASC) = 1)
+        SELECT d.doc_id, d.lang, b.plang AS pred_lang
+        FROM documents d JOIN best b USING (doc_id)
+    """,
     "jaccard_dupes": """
         WITH tok AS (SELECT doc_id,
                             unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
@@ -479,6 +558,63 @@ ORACLES: dict[str, str] = {
                     FROM blocks GROUP BY 1)
         SELECT t.doc_id, t.width, t.height, t.sum_pixels, r.resized_sum
         FROM tot t JOIN rs r ON t.doc_id = r.doc_id
+    """,
+    # Exact SQL replay of the md5-backend SimHash: md5_number_upper ==
+    # int.from_bytes(md5(tok)[:8], 'little'); per-bit ±1 votes over
+    # token multiplicities; bit set iff vote strictly positive.
+    "simhash_verified": """
+        WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   FROM documents WHERE trim(text) <> ''),
+             h AS (SELECT doc_id, md5_number_upper(tok) AS hv FROM t),
+             b AS (SELECT doc_id, g.i,
+                          SUM(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                   FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+                   GROUP BY 1, 2),
+             s AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << i
+                                        ELSE 0 END) AS UBIGINT) AS sh
+                   FROM b GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(lpad(lower(hex(s.sh)), 16, '0'), '0000000000000000') AS simhash
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+    # Exact SQL replay of text.winnowing_fingerprints (k=4, window=5,
+    # base=1099511628211): polynomial k-gram hash mod 2^64 + splitmix64
+    # finalizer (the two 64x64-bit multiplies split into 32-bit halves
+    # because HUGEINT is signed 127-bit), window minimum via a 5-row
+    # window frame (frame truncation at partition end covers the
+    # m <= window whole-doc-min branch), distinct sorted hex join.
+    "winnowing_fingerprints": _WINNOW_SQL,
+    # SQL LWW replay of the full engine run in run_flagship_from_events
+    # (see its docstring for the shared derivation). The last event per
+    # doc_id by lsn wins; deletes tombstone; pre-evolution epochs (0-1)
+    # leave source NULL; token arrays are checked via integer digests
+    # (sum/first/last) recomputed from the closed-form token formula.
+    "cdc_apply_events": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete,
+                          LEAST(3, event_id * 4 // (mx.m + 1)) AS epoch
+                   FROM events, mx),
+             last AS (SELECT * FROM e
+                      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY lsn DESC) = 1),
+             live AS (SELECT * FROM last WHERE NOT is_delete),
+             tok AS (SELECT doc_id, lsn,
+                            unnest(generate_series(0, lsn % 17)) AS i
+                     FROM live),
+             sums AS (SELECT doc_id,
+                             CAST(SUM((lsn * 31 + i * 7) % 1000) AS BIGINT)
+                                 AS token_sum
+                      FROM tok GROUP BY 1)
+        SELECT l.doc_id,
+               CAST(l.lsn % 17 + 1 AS BIGINT) AS n_tok,
+               s.token_sum,
+               CAST((l.lsn * 31) % 1000 AS BIGINT) AS tok_first,
+               CAST((l.lsn * 31 + (l.lsn % 17) * 7) % 1000 AS BIGINT) AS tok_last,
+               CASE WHEN l.epoch >= 2 THEN 'ev' || l.epoch END AS source
+        FROM live l JOIN sums s USING (doc_id)
     """,
     "ann_topk": """
         WITH sims AS (

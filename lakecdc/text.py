@@ -83,7 +83,9 @@ class LangId:
     'build dim dict before streaming' pattern
     (scripts/individual_support.py:17-27) as an actor pool.
 
-    No SQL oracle (heuristic) — registered as a rows-only query.
+    Deterministic, so driver-checked: the oracle SQL replays the
+    distinct-word/profile-overlap argmax (profiles interpolated from
+    PROFILES so engine and oracle can't drift).
     """
 
     # Tiny fixed profiles keyed to the synthetic corpus's languages.
@@ -143,8 +145,9 @@ def winnowing_fingerprints(
     Fully vectorized per document: the k-gram hash is k shifted
     vector multiply-adds over the byte array (uint64 wraparound +
     splitmix64 finalizer — no per-character Python loop), the window
-    minimum is window-1 vectorized np.minimum reductions. Rows-only
-    (no SQL analogue).
+    minimum is window-1 vectorized np.minimum reductions. Driver-
+    checked against an exact DuckDB replay of the rolling hash +
+    winnowing (registry._WINNOW_SQL).
     """
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
