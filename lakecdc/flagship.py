@@ -61,13 +61,38 @@ def run_flagship_from_events(sf_dir: str, work_root: str | None = None) -> pd.Da
     hash covers the token arrays without hashing list columns.
     """
     import numpy as np
+
+    cfg = _write_events_wal(sf_dir, work_root, "events")
+    apply_all(cfg)
+    lake = read_lake_local(cfg)
+    toks = lake["tokens"]
+    out = pd.DataFrame(
+        {
+            "doc_id": lake["doc_id"],
+            "n_tok": lake["n_tok"].astype("int64"),
+            "token_sum": [int(np.sum(t)) if len(t) else 0 for t in toks],
+            "tok_first": [int(t[0]) if len(t) else -1 for t in toks],
+            "tok_last": [int(t[-1]) if len(t) else -1 for t in toks],
+            "source": lake["source"],
+        }
+    )
+    for c in ("token_sum", "tok_first", "tok_last"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _write_events_wal(sf_dir: str, work_root: str | None, tag_prefix: str) -> EngineConfig:
+    """The deterministic events->WAL derivation shared by
+    run_flagship_from_events and snapshot_diff_from_events (see the
+    former's docstring for the formula mirrored in the SQL oracles)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq_mod
 
     from lakecdc.schemas import WAL_SCHEMA_V0, WAL_SCHEMA_V1
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = work_root or os.path.join("/tmp", f"lakecdc_events_{tag}")
+    root = work_root or os.path.join("/tmp", f"lakecdc_{tag_prefix}_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     cfg = EngineConfig(root=root, num_buckets=16)
     cfg.ensure_dirs()
@@ -112,23 +137,74 @@ def run_flagship_from_events(sf_dir: str, work_root: str | None = None) -> pd.Da
         pq_mod.write_table(
             pa.table(cols, schema=schema), os.path.join(seg_dir, "seg-0.parquet")
         )
+    return cfg
 
+
+def snapshot_diff_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable snapshot DIFF: run the engine on the
+    events-derived WAL (same derivation as run_flagship_from_events),
+    then emit the net change stream turning the epoch-1 snapshot into
+    the final lake via lakecdc.diff.diff_snapshots. The SQL oracle
+    (registry ``cdc_snapshot_diff``) replays both LWW states with
+    window functions and derives the same insert/update/delete set.
+
+    Integer digests (-1 sentinels on deletes) keep every column int64/
+    string so the driver's dtype-sensitive value hash is stable."""
+    import numpy as np
+
+    from lakecdc.diff import collect_changelog, diff_snapshots
+
+    cfg = _write_events_wal(sf_dir, work_root, "diff")
     apply_all(cfg)
-    lake = read_lake_local(cfg)
-    toks = lake["tokens"]
+    ev = collect_changelog(diff_snapshots(cfg, from_epoch=1))
+    toks = ev["tokens"]
+    is_del = (ev["op"] == "delete").to_numpy()
     out = pd.DataFrame(
         {
-            "doc_id": lake["doc_id"],
-            "n_tok": lake["n_tok"].astype("int64"),
-            "token_sum": [int(np.sum(t)) if len(t) else 0 for t in toks],
-            "tok_first": [int(t[0]) if len(t) else -1 for t in toks],
-            "tok_last": [int(t[-1]) if len(t) else -1 for t in toks],
-            "source": lake["source"],
+            "op": ev["op"],
+            "doc_id": ev["doc_id"],
+            "n_tok": np.where(is_del, -1, ev["n_tok"].fillna(-1)).astype("int64"),
+            "token_sum": [
+                -1 if d else int(np.sum(t)) for d, t in zip(is_del, toks)
+            ],
+            "lsn": ev["lsn"].astype("int64"),
+            "source": ev["source"],
         }
     )
-    for c in ("token_sum", "tok_first", "tok_last"):
-        out[c] = out[c].astype("int64")
-    return out.reset_index(drop=True)
+    out["token_sum"] = out["token_sum"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# Probe tokens for token_index_from_events — mirrored literally in the
+# registry oracle SQL's VALUES list.
+INDEX_PROBE_TOKENS = [0, 7, 42, 123, 250, 500, 777, 999]
+
+
+def token_index_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable INVERTED-INDEX lookup: run the engine on
+    the events-derived WAL, build the incremental token index
+    (lakecdc.index, per-epoch maintenance with retractions), and look
+    up a fixed probe-token set. The SQL oracle recomputes each token's
+    live posting list from the closed-form token formula over the LWW
+    winners. Output (token, n_docs, doc_id_sum) — integer digests of
+    the posting lists."""
+    from lakecdc.index import build_index, lookup_token
+
+    cfg = _write_events_wal(sf_dir, work_root, "index")
+    apply_all(cfg)
+    build_index(cfg, token_buckets=16)
+    rows = []
+    for tok in INDEX_PROBE_TOKENS:
+        docs = lookup_token(cfg, tok, token_buckets=16)
+        rows.append(
+            {
+                "token": tok,
+                "n_docs": len(docs),
+                "doc_id_sum": sum(int(d) for d in docs),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out.astype({"token": "int64", "n_docs": "int64", "doc_id_sum": "int64"})
 
 
 def run_flagship(

@@ -1,0 +1,254 @@
+"""Incremental inverted token index — a secondary index over the lake
+mapping ``token -> live doc_ids``, maintained per epoch from snapshot
+pre/post images (never a full rebuild).
+
+Layout: ``root/tokindex/epoch=E/tb=B/post.parquet`` with rows
+``(token:int32, doc_id:string, lsn:int64, present:bool)``, partitioned
+by ``tb = token % token_buckets``. A lookup of one token reads ONE
+token-bucket's chain across epochs and LWW-folds per (token, doc_id)
+— the same chain-fold discipline as the lake itself.
+
+Scale shape: maintenance for epoch E is partition-aligned on the LAKE
+side (one task per lake partition loads the E-1 and E chains it
+already owns — no shuffle to find what changed), then shuffles only
+the O(changed-docs x tokens-per-doc) posting deltas by token bucket.
+The retraction problem (an update that DROPS token t writes nothing
+near t's postings) is solved by emitting, for every changed doc, one
+row per token of the OLD ∪ NEW sets with ``present`` = membership in
+the new set; the LWW fold by the doc's new LSN then supersedes stale
+postings without ever reading them.
+
+Reference analogue: the broadcast lookup structures of SURVEY §2.3
+(ST1-ST4) turned durable and incremental — the lookup side-structure
+maintained by the engine instead of rebuilt per run.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from lakecdc import manifest
+from lakecdc.config import EngineConfig, atomic_write
+from lakecdc.lake import _merge_chain
+
+INDEX_SCHEMA = pa.schema(
+    [
+        ("token", pa.int32()),
+        ("doc_id", pa.string()),
+        ("lsn", pa.int64()),
+        ("present", pa.bool_()),
+    ]
+)
+
+DEFAULT_TOKEN_BUCKETS = 32
+
+
+def index_dir(cfg: EngineConfig) -> str:
+    return os.path.join(cfg.root, "tokindex")
+
+
+def complete_epochs(cfg: EngineConfig) -> list[int]:
+    """Epochs whose apply fully committed (the manifest's _complete
+    markers) — the safe maintenance points for the index."""
+    return sorted(
+        int(os.path.basename(os.path.dirname(p)).split("=")[1])
+        for p in glob.glob(
+            os.path.join(cfg.manifest_dir, "epoch=*", "_complete.json")
+        )
+    )
+
+
+def _posting_deltas(
+    files_from: list[str], files_to: list[str], engine: str
+) -> pa.Table:
+    """One lake partition's posting deltas between two chain states:
+    for every doc whose winning LSN changed, one row per DISTINCT
+    token of old ∪ new with the NEW liveness."""
+    to_df = _merge_chain(files_to, include_meta=True, engine=engine).to_pandas()
+    old_tokens: dict[str, np.ndarray] = {}
+    old_lsn: dict[str, int] = {}
+    if files_from:
+        fdf = _merge_chain(
+            files_from, include_meta=True, engine=engine
+        ).to_pandas()
+        old_tokens = dict(zip(fdf["doc_id"], fdf["tokens"]))
+        old_lsn = dict(zip(fdf["doc_id"], fdf["_lsn"].astype(int)))
+    toks_out, docs_out, lsns_out, pres_out = [], [], [], []
+    seen: set[str] = set()
+    for doc, toks, lsn in zip(to_df["doc_id"], to_df["tokens"], to_df["_lsn"]):
+        seen.add(doc)
+        if old_lsn.get(doc) == int(lsn):
+            continue  # unchanged doc: no postings touched
+        new = np.unique(np.asarray(toks, dtype=np.int64))
+        old = np.unique(np.asarray(old_tokens.get(doc, ()), dtype=np.int64))
+        union = np.union1d(old, new)
+        toks_out.append(union)
+        docs_out.append(np.full(len(union), doc, dtype=object))
+        lsns_out.append(np.full(len(union), int(lsn), dtype=np.int64))
+        pres_out.append(np.isin(union, new))
+    # docs present at FROM but absent from the TO chain entirely (a
+    # vacuumed tombstone): retract every old token one LSN later
+    for doc, toks in old_tokens.items():
+        if doc in seen:
+            continue
+        old = np.unique(np.asarray(toks, dtype=np.int64))
+        toks_out.append(old)
+        docs_out.append(np.full(len(old), doc, dtype=object))
+        lsns_out.append(
+            np.full(len(old), old_lsn.get(doc, 0) + 1, dtype=np.int64)
+        )
+        pres_out.append(np.zeros(len(old), dtype=bool))
+    if not toks_out:
+        return INDEX_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "token": pa.array(np.concatenate(toks_out).astype(np.int32)),
+            "doc_id": pa.array(np.concatenate(docs_out), type=pa.string()),
+            "lsn": pa.array(np.concatenate(lsns_out)),
+            "present": pa.array(np.concatenate(pres_out)),
+        },
+        schema=INDEX_SCHEMA,
+    )
+
+
+def _view_resident(view: dict[int, list[str]]) -> bool:
+    return all(os.path.exists(f) for files in view.values() for f in files)
+
+
+def _latest_manifest_epoch(cfg: EngineConfig) -> int | None:
+    """Newest epoch with any manifest record — includes compaction
+    epochs, which have no WAL segment or _complete marker."""
+    dirs = glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))
+    return max((int(os.path.basename(d).split("=")[1]) for d in dirs), default=None)
+
+
+def update_index(
+    cfg: EngineConfig,
+    epoch: int,
+    token_buckets: int = DEFAULT_TOKEN_BUCKETS,
+    from_epoch: int | None = "auto",  # type: ignore[assignment]
+) -> int:
+    """Maintain the index for one newly-committed epoch: partition-
+    aligned delta extraction, then a token-bucket shuffle of just the
+    posting deltas, one atomically-written file per (epoch, bucket).
+    Idempotent (deterministic content at deterministic paths). Returns
+    the number of posting rows written.
+
+    ``from_epoch``: "auto" = the previous epoch; None = full-snapshot
+    postings (used for the first index point of a lake whose earlier
+    history was compacted + vacuumed away)."""
+    view_to = manifest.partition_view(cfg, epoch)
+    if from_epoch == "auto":
+        from_epoch = epoch - 1 if epoch > 0 else None
+    view_from = (
+        manifest.partition_view(cfg, from_epoch) if from_epoch is not None else {}
+    )
+    parts = sorted(set(view_to) | set(view_from))
+    if not parts:
+        return 0
+    items = [
+        {"from": list(view_from.get(p, [])), "to": list(view_to.get(p, []))}
+        for p in parts
+    ]
+    engine = cfg.merge_engine
+    idx_root = index_dir(cfg)
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        tables = [
+            _posting_deltas(row["from"], row["to"], engine)
+            for row in batch.to_pylist()
+        ]
+        t = pa.concat_tables(tables) if tables else INDEX_SCHEMA.empty_table()
+        tb = (t["token"].to_numpy(zero_copy_only=False) % token_buckets).astype(
+            np.int64
+        )
+        return t.append_column("tb", pa.array(tb))
+
+    def write_tb(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        tb = int(group["tb"][0].as_py())
+        sub = group.drop_columns(["tb"]).sort_by(
+            [("token", "ascending"), ("doc_id", "ascending"), ("lsn", "ascending")]
+        )
+        path = os.path.join(
+            idx_root, f"epoch={epoch:09d}", f"tb={tb:05d}", "post.parquet"
+        )
+        atomic_write(path, lambda tmp: pq.write_table(sub, tmp))
+        return pa.table({"n": pa.array([sub.num_rows], type=pa.int64())})
+
+    counts = (
+        rd.from_items(items)
+        .map_batches(deltas, batch_size=1, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(write_tb, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return int(counts["n"].sum()) if len(counts) else 0
+
+
+def build_index(
+    cfg: EngineConfig, token_buckets: int = DEFAULT_TOKEN_BUCKETS
+) -> int:
+    """Index every fully-committed epoch in order — the incremental
+    maintenance loop a `--follow` tail would run after each apply.
+
+    Residency-aware: epochs whose chain files were compacted + vacuumed
+    away are skipped; the first still-resident snapshot is indexed FULL
+    (all live postings) and later epochs incrementally on top. A fully
+    compacted lake (no complete WAL epoch resident) gets one full index
+    at the latest (compaction) epoch."""
+    total = 0
+    prev: int | None = None
+    for e in complete_epochs(cfg):
+        if not _view_resident(manifest.partition_view(cfg, e)):
+            continue
+        if prev is None:
+            total += update_index(cfg, e, token_buckets, from_epoch=None)
+        else:
+            total += update_index(cfg, e, token_buckets, from_epoch=prev)
+        prev = e
+    if prev is None:
+        latest = _latest_manifest_epoch(cfg)
+        if latest is not None:
+            total += update_index(cfg, latest, token_buckets, from_epoch=None)
+    return total
+
+
+def lookup_token(
+    cfg: EngineConfig,
+    token: int,
+    token_buckets: int = DEFAULT_TOKEN_BUCKETS,
+    up_to_epoch: int | None = None,
+) -> list[str]:
+    """Docs whose live row contains ``token``: read ONE token-bucket's
+    chain, filter to the token, LWW-fold per doc_id, keep present.
+    ``up_to_epoch`` time-travels the index like the lake read path."""
+    tb = token % token_buckets
+    files = sorted(
+        glob.glob(
+            os.path.join(index_dir(cfg), "epoch=*", f"tb={tb:05d}", "*.parquet")
+        )
+    )
+    if up_to_epoch is not None:
+        files = [
+            f
+            for f in files
+            if int(f.split("epoch=")[1].split(os.sep)[0]) <= up_to_epoch
+        ]
+    if not files:
+        return []
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    t = t.filter(pc.equal(t["token"], pa.scalar(token, pa.int32())))
+    if t.num_rows == 0:
+        return []
+    df = t.to_pandas().sort_values("lsn", kind="stable")
+    last = df.groupby("doc_id", sort=False).tail(1)
+    return sorted(last[last["present"]]["doc_id"])

@@ -36,6 +36,7 @@ def _merge_chain(
     include_meta: bool,
     engine: str = "lww",
     columns: list[str] | None = None,
+    keep_tombstones: bool = False,
 ) -> pa.Table:
     """Fold one partition's file chain into its live rows (LWW
     last-per-key, or the partial engine's per-field fold + visibility).
@@ -79,7 +80,8 @@ def _merge_chain(
             )
     table = unify_concat(tables, schema)
     table = last_per_key(table, key="doc_id", order="_lsn")
-    table = table.filter(pc.invert(table["_deleted"]))
+    if not keep_tombstones:
+        table = table.filter(pc.invert(table["_deleted"]))
     if not include_meta:
         keep = (
             [f.name for f in LAKE_SCHEMA]

@@ -20,7 +20,12 @@ from lakecdc import (
     sketch,
     text,
 )
-from lakecdc.flagship import run_flagship, run_flagship_from_events
+from lakecdc.flagship import (
+    run_flagship,
+    run_flagship_from_events,
+    snapshot_diff_from_events,
+    token_index_from_events,
+)
 
 _C = "CAST(FLOOR({x} * 100 + 0.5) AS BIGINT)"
 
@@ -168,6 +173,11 @@ QUERIES: dict[str, Callable] = {
     # full engine, WAL derived deterministically from `events` — the
     # driver hash-checks the final lake state against a SQL LWW replay
     "cdc_apply_events": run_flagship_from_events,
+    # engine + snapshot diff (CDC output): the net change stream that
+    # turns the epoch-1 snapshot into the final lake, SQL-replayed
+    "cdc_snapshot_diff": snapshot_diff_from_events,
+    # engine + incremental inverted index: probe-token posting digests
+    "token_index_lookup": token_index_from_events,
 }
 
 
@@ -615,6 +625,80 @@ ORACLES: dict[str, str] = {
                CAST((l.lsn * 31 + (l.lsn % 17) * 7) % 1000 AS BIGINT) AS tok_last,
                CASE WHEN l.epoch >= 2 THEN 'ev' || l.epoch END AS source
         FROM live l JOIN sums s USING (doc_id)
+    """,
+    # SQL replay of the snapshot diff (lakecdc.diff over the engine run
+    # in snapshot_diff_from_events): LWW state over epochs <= 1 vs the
+    # final state; emit insert (live only in final), update (live in
+    # both, different winning LSN), delete (live at epoch 1, final
+    # winner is a tombstone — its LSN is emitted). -1 digest sentinels
+    # on deletes keep every column int64 for the driver's value hash.
+    "cdc_snapshot_diff": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete,
+                          LEAST(3, event_id * 4 // (mx.m + 1)) AS epoch
+                   FROM events, mx),
+             a AS (SELECT * FROM e WHERE epoch <= 1
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY lsn DESC) = 1),
+             b AS (SELECT * FROM e
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY lsn DESC) = 1),
+             alive AS (SELECT doc_id, lsn FROM a WHERE NOT is_delete),
+             ch AS (SELECT b.doc_id, b.lsn, b.epoch,
+                           CASE WHEN b.is_delete THEN 'delete'
+                                WHEN al.doc_id IS NULL THEN 'insert'
+                                ELSE 'update' END AS op
+                    FROM b LEFT JOIN alive al USING (doc_id)
+                    WHERE (b.is_delete AND al.doc_id IS NOT NULL)
+                       OR (NOT b.is_delete AND al.doc_id IS NULL)
+                       OR (NOT b.is_delete AND al.doc_id IS NOT NULL
+                           AND b.lsn <> al.lsn)),
+             tok AS (SELECT doc_id, lsn,
+                            unnest(generate_series(0, lsn % 17)) AS i
+                     FROM ch WHERE op <> 'delete'),
+             sums AS (SELECT doc_id,
+                             CAST(SUM((lsn * 31 + i * 7) % 1000) AS BIGINT)
+                                 AS token_sum
+                      FROM tok GROUP BY 1)
+        SELECT ch.op, ch.doc_id,
+               CAST(CASE WHEN ch.op = 'delete' THEN -1
+                         ELSE ch.lsn % 17 + 1 END AS BIGINT) AS n_tok,
+               COALESCE(s.token_sum, -1) AS token_sum,
+               ch.lsn,
+               CASE WHEN ch.op <> 'delete' AND ch.epoch >= 2
+                    THEN 'ev' || ch.epoch END AS source
+        FROM ch LEFT JOIN sums s USING (doc_id)
+    """,
+    # SQL replay of the inverted-index lookup (token_index_from_events):
+    # live LWW winners' token sets recomputed from the closed-form
+    # formula; posting-list digests per probe token (VALUES list
+    # mirrors flagship.INDEX_PROBE_TOKENS).
+    "token_index_lookup": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete
+                   FROM events, mx),
+             live AS (SELECT * FROM e
+                      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY lsn DESC) = 1
+                              AND NOT is_delete),
+             post AS (SELECT DISTINCT doc_id,
+                             (lsn * 31 + i * 7) % 1000 AS token
+                      FROM (SELECT doc_id, lsn,
+                                   unnest(generate_series(0, lsn % 17)) AS i
+                            FROM live)),
+             probe(token) AS (VALUES (0), (7), (42), (123), (250), (500),
+                                     (777), (999)),
+             hits AS (SELECT p.token,
+                             COUNT(doc_id) AS n_docs,
+                             CAST(COALESCE(SUM(CAST(doc_id AS BIGINT)), 0)
+                                  AS BIGINT) AS doc_id_sum
+                      FROM probe p LEFT JOIN post USING (token)
+                      GROUP BY 1)
+        SELECT CAST(token AS BIGINT) AS token, n_docs, doc_id_sum FROM hits
     """,
     "ann_topk": """
         WITH sims AS (

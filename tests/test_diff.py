@@ -1,0 +1,118 @@
+"""Snapshot-diff changelog (lakecdc.diff): the emitted change stream
+must round-trip — applying diff(A -> B) to snapshot A under LWW
+reproduces snapshot B per-row — and be minimal (O(changed))."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lakecdc import oracle
+from lakecdc.apply import apply_all
+from lakecdc.config import EngineConfig
+from lakecdc.diff import collect_changelog, diff_snapshots
+from lakecdc.lake import read_lake_local
+from lakecdc.synth import write_wal
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("diff_lake"))
+    cfg = EngineConfig(root=root, num_buckets=8)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir,
+        n_docs=300,
+        n_epochs=3,
+        events_per_epoch=1200,
+        seed=11,
+        evolution_epoch=1,
+        zipf_a=1.2,
+    )
+    apply_all(cfg)
+    return cfg
+
+
+def _apply_changelog(base: pd.DataFrame, ev: pd.DataFrame) -> pd.DataFrame:
+    """Single-process replay of a changelog onto a snapshot frame."""
+    state = {
+        r.doc_id: (list(r.tokens), int(r.n_tok), r.source)
+        for r in base.itertuples()
+    }
+    for r in ev.itertuples():
+        if r.op == "delete":
+            state.pop(r.doc_id, None)
+        else:
+            state[r.doc_id] = (list(r.tokens), int(r.n_tok), r.source)
+    rows = [
+        {"doc_id": k, "tokens": v[0], "n_tok": v[1], "source": v[2]}
+        for k, v in sorted(state.items())
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["tokens"] = df["tokens"].map(lambda t: tuple(t))
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_diff_round_trips_each_epoch(lake):
+    for e in range(3):
+        base = (
+            read_lake_local(lake, up_to_epoch=e - 1)
+            if e > 0
+            else read_lake_local(lake, up_to_epoch=None).iloc[0:0]
+        )
+        if e == 0:
+            ev = collect_changelog(diff_snapshots(lake, from_epoch=None, to_epoch=0))
+        else:
+            ev = collect_changelog(diff_snapshots(lake, from_epoch=e - 1, to_epoch=e))
+        got = _apply_changelog(base, ev)
+        want = read_lake_local(lake, up_to_epoch=e)
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False
+        )
+
+
+def test_diff_none_to_latest_is_all_inserts(lake):
+    ev = collect_changelog(diff_snapshots(lake, from_epoch=None))
+    assert (ev["op"] == "insert").all()
+    want = read_lake_local(lake)
+    assert sorted(ev["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_diff_same_epoch_is_empty(lake):
+    assert diff_snapshots(lake, from_epoch=1, to_epoch=1).count() == 0
+
+
+def test_diff_is_minimal_and_typed(lake):
+    """No unchanged rows are emitted; ops partition correctly."""
+    base = read_lake_local(lake, up_to_epoch=0)
+    final = read_lake_local(lake, up_to_epoch=2)
+    ev = collect_changelog(diff_snapshots(lake, from_epoch=0, to_epoch=2))
+    assert set(ev["op"]) <= {"insert", "update", "delete"}
+    assert not ev["doc_id"].duplicated().any()
+    base_ids = set(base["doc_id"])
+    final_ids = set(final["doc_id"])
+    ins = ev[ev["op"] == "insert"]
+    upd = ev[ev["op"] == "update"]
+    dele = ev[ev["op"] == "delete"]
+    assert set(ins["doc_id"]).isdisjoint(base_ids)
+    assert set(upd["doc_id"]) <= base_ids & final_ids
+    assert set(dele["doc_id"]) <= base_ids - final_ids
+    # emitted ops match the oracle's view of what changed
+    assert ev["n_tok"].notna()[ev["op"] != "delete"].all()
+    assert ev["lsn"].notna().all()  # tombstones resident: deletes keep LSN
+
+
+def test_diff_matches_oracle_final_state(lake):
+    """diff(None -> latest) applied to nothing == replay oracle."""
+    ev = collect_changelog(diff_snapshots(lake, from_epoch=None))
+    got = _apply_changelog(
+        pd.DataFrame(columns=["doc_id", "tokens", "n_tok", "source"]), ev
+    )
+    want = oracle.replay(lake.wal_dir)[["doc_id", "tokens", "n_tok", "source"]]
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want.reset_index(drop=True)), check_dtype=False
+    )
