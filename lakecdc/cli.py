@@ -60,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
-        "lookup", "changelog", "refresh-view",
+        "lookup", "changelog", "refresh-view", "diff", "index",
+        "search-token",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -77,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
         if name == "changelog":
             s.add_argument("--from-epoch", type=int, default=None, dest="from_epoch")
             s.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+        if name == "diff":
+            s.add_argument("--from-epoch", type=int, default=None, dest="from_epoch")
+            s.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+            s.add_argument(
+                "--out", default=None,
+                help="write the changelog as parquet here instead of printing counts",
+            )
+        if name in ("index", "search-token"):
+            s.add_argument("--token-buckets", type=int, default=32,
+                           dest="token_buckets")
+        if name == "search-token":
+            s.add_argument("--token", type=int, required=True)
+            s.add_argument("--as-of", type=int, default=None, dest="as_of")
         if name == "apply":
             s.add_argument(
                 "--mode", choices=["cow", "mor"], default="cow",
@@ -250,6 +264,45 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ds.count()
             print(json.dumps({"events": int(n)}))
+        elif args.cmd == "diff":
+            from lakecdc.diff import diff_snapshots
+
+            ds = diff_snapshots(
+                cfg, from_epoch=args.from_epoch, to_epoch=args.to_epoch
+            )
+            if args.out:
+                ds.write_parquet(args.out)
+                print(json.dumps({"written": args.out}))
+            else:
+                from lakecdc.diff import collect_changelog
+
+                ev = collect_changelog(ds)
+                print(
+                    json.dumps(
+                        {
+                            "events": int(len(ev)),
+                            "by_op": {
+                                k: int(v)
+                                for k, v in ev["op"].value_counts().items()
+                            },
+                        }
+                    )
+                )
+        elif args.cmd == "index":
+            from lakecdc.index import build_index
+
+            n = build_index(cfg, token_buckets=args.token_buckets)
+            print(json.dumps({"postings_written": int(n)}))
+        elif args.cmd == "search-token":
+            from lakecdc.index import lookup_token
+
+            docs = lookup_token(
+                cfg,
+                args.token,
+                token_buckets=args.token_buckets,
+                up_to_epoch=args.as_of,
+            )
+            print(json.dumps({"token": args.token, "n_docs": len(docs), "doc_ids": docs}))
         elif args.cmd == "verify":
             from lakecdc import oracle
             from lakecdc.lake import read_lake_local

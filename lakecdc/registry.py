@@ -158,6 +158,8 @@ QUERIES: dict[str, Callable] = {
     # --- mergeable sketches (approximate: accuracy pinned in pytest) ---
     "hll_distinct": sketch.hll_distinct,  # rows-only
     "kmv_distinct": sketch.kmv_distinct,  # rows-only
+    # SQL-reproducible hash + all-integer estimator: value-checked
+    "kmv_verified": sketch.kmv_verified,
     "heavy_hitters": sketch.heavy_hitters,  # rows-only
     # --- similarity search ---
     "ann_topk": ann.ann_topk,
@@ -568,6 +570,34 @@ ORACLES: dict[str, str] = {
                     FROM blocks GROUP BY 1)
         SELECT t.doc_id, t.width, t.height, t.sum_pixels, r.resized_sum
         FROM tot t JOIN rs r ON t.doc_id = r.doc_id
+    """,
+    # Exact SQL replay of the verified KMV sketch: splitmix64 over the
+    # distinct keys (same _mulmod HUGEINT arithmetic as the winnowing
+    # oracle), k=1024 smallest distinct hashes, all-integer estimator
+    # (k-1) * 2^64 // kth_min with HUGEINT floor division.
+    "kmv_verified": f"""
+        WITH vals AS (SELECT 'events.user_id' AS table_col,
+                             CAST(user_id AS UBIGINT) AS v FROM events
+                      UNION ALL
+                      SELECT 'lineitem.l_partkey', CAST(l_partkey AS UBIGINT)
+                      FROM lineitem),
+             d AS (SELECT DISTINCT table_col, v FROM vals),
+             s1 AS (SELECT table_col, xor(v, v >> 30) AS a FROM d),
+             s2 AS (SELECT table_col, {_mulmod('a', '13787848793156543929')} AS b FROM s1),
+             s3 AS (SELECT table_col, xor(b, b >> 27) AS c FROM s2),
+             s4 AS (SELECT table_col, {_mulmod('c', '10723151780598845931')} AS dd FROM s3),
+             h AS (SELECT DISTINCT table_col, xor(dd, dd >> 31) AS hv FROM s4),
+             r AS (SELECT table_col, hv,
+                          row_number() OVER (PARTITION BY table_col
+                                             ORDER BY hv) AS rn FROM h),
+             kth AS (SELECT table_col, CAST(hv AS HUGEINT) AS kth
+                     FROM r WHERE rn = 1024),
+             cnt AS (SELECT table_col, COUNT(*) AS n FROM h GROUP BY 1)
+        SELECT c.table_col,
+               CAST(CASE WHEN k.kth IS NULL THEN c.n
+                         ELSE (1023 * 18446744073709551616::HUGEINT) // k.kth
+                    END AS BIGINT) AS approx_distinct
+        FROM cnt c LEFT JOIN kth k USING (table_col)
     """,
     # Exact SQL replay of the md5-backend SimHash: md5_number_upper ==
     # int.from_bytes(md5(tok)[:8], 'little'); per-bit ±1 votes over

@@ -170,6 +170,40 @@ def kmv_distinct(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 of an int64 column (uint64 wraparound) — the one
+    integer hash the DuckDB oracle reproduces exactly via HUGEINT
+    mod-2^64 arithmetic (registry._mulmod), making the KMV sketch
+    value-checkable end to end."""
+    h = v.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def kmv_verified(sf_dir: str, k: int = 1024) -> pd.DataFrame:
+    """KMV distinct-count whose ESTIMATE the driver value-checks: same
+    mergeable k-smallest-distinct-hash summaries as kmv_distinct, but
+    with a SQL-reproducible hash (splitmix64) and an all-integer
+    estimator — exact count when fewer than k distinct hashes were
+    seen, else (k-1) * 2^64 // kth_min via arbitrary-precision ints
+    (no float rounding to diverge from the HUGEINT SQL)."""
+    out = []
+    for table, col in [("events", "user_id"), ("lineitem", "l_partkey")]:
+        ds = read(sf_dir, table, [col])
+        mins = kmv_merge(
+            _summaries(ds, col, lambda v: np.unique(_splitmix64(v))[:k]), k
+        )
+        if len(mins) < k:
+            est = len(mins)
+        else:
+            est = (k - 1) * 2**64 // int(mins[k - 1])
+        out.append({"table_col": f"{table}.{col}", "approx_distinct": est})
+    df = pd.DataFrame(out)
+    df["approx_distinct"] = df["approx_distinct"].astype("int64")
+    return df
+
+
 def heavy_hitters(sf_dir: str, k: int = 64, top: int = 10) -> pd.DataFrame:
     """Approximate top keys by frequency (Misra-Gries): any key with
     true frequency > n/(k+1) is guaranteed present; counts undercount
