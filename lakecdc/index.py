@@ -29,6 +29,7 @@ import glob
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -65,54 +66,82 @@ def complete_epochs(cfg: EngineConfig) -> list[int]:
     )
 
 
+def _flat_pairs(docs: np.ndarray, toks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten an object array of token arrays into (doc_idx, token)
+    pair columns (with multiplicities; dedup happens in the caller's
+    single sort)."""
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    if lens.sum() == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in toks if len(t)])
+    return np.repeat(docs, lens), flat
+
+
 def _posting_deltas(
     files_from: list[str], files_to: list[str], engine: str
 ) -> pa.Table:
     """One lake partition's posting deltas between two chain states:
     for every doc whose winning LSN changed, one row per DISTINCT
-    token of old ∪ new with the NEW liveness."""
+    token of old ∪ new with the NEW liveness. Vectorized: old+new
+    (doc, token) pairs flattened once, deduped and liveness-resolved
+    by ONE lexsort + boundary mask (keep max ``present`` per pair) —
+    no per-doc numpy calls."""
     to_df = _merge_chain(files_to, include_meta=True, engine=engine).to_pandas()
-    old_tokens: dict[str, np.ndarray] = {}
-    old_lsn: dict[str, int] = {}
     if files_from:
-        fdf = _merge_chain(
-            files_from, include_meta=True, engine=engine
-        ).to_pandas()
-        old_tokens = dict(zip(fdf["doc_id"], fdf["tokens"]))
-        old_lsn = dict(zip(fdf["doc_id"], fdf["_lsn"].astype(int)))
-    toks_out, docs_out, lsns_out, pres_out = [], [], [], []
-    seen: set[str] = set()
-    for doc, toks, lsn in zip(to_df["doc_id"], to_df["tokens"], to_df["_lsn"]):
-        seen.add(doc)
-        if old_lsn.get(doc) == int(lsn):
-            continue  # unchanged doc: no postings touched
-        new = np.unique(np.asarray(toks, dtype=np.int64))
-        old = np.unique(np.asarray(old_tokens.get(doc, ()), dtype=np.int64))
-        union = np.union1d(old, new)
-        toks_out.append(union)
-        docs_out.append(np.full(len(union), doc, dtype=object))
-        lsns_out.append(np.full(len(union), int(lsn), dtype=np.int64))
-        pres_out.append(np.isin(union, new))
-    # docs present at FROM but absent from the TO chain entirely (a
-    # vacuumed tombstone): retract every old token one LSN later
-    for doc, toks in old_tokens.items():
-        if doc in seen:
-            continue
-        old = np.unique(np.asarray(toks, dtype=np.int64))
-        toks_out.append(old)
-        docs_out.append(np.full(len(old), doc, dtype=object))
-        lsns_out.append(
-            np.full(len(old), old_lsn.get(doc, 0) + 1, dtype=np.int64)
-        )
-        pres_out.append(np.zeros(len(old), dtype=bool))
-    if not toks_out:
+        fdf = _merge_chain(files_from, include_meta=True, engine=engine).to_pandas()
+    else:
+        fdf = to_df.iloc[0:0]
+    old_lsn = pd.Series(
+        fdf["_lsn"].to_numpy(dtype=np.int64), index=fdf["doc_id"], dtype="int64"
+    )
+    to_old = to_df["doc_id"].map(old_lsn)
+    changed = (to_old != to_df["_lsn"]).to_numpy()  # NaN != x -> True (new docs)
+    gone = ~fdf["doc_id"].isin(to_df["doc_id"]).to_numpy(dtype=bool)
+    ch = to_df[changed]
+    go = fdf[gone]
+    # doc universe for this delta: changed-to docs then gone-from docs
+    doc_ids = np.concatenate(
+        [ch["doc_id"].to_numpy(dtype=object), go["doc_id"].to_numpy(dtype=object)]
+    )
+    doc_lsn = np.concatenate(
+        [
+            ch["_lsn"].to_numpy(dtype=np.int64),
+            # vacuumed-away docs retract one LSN past their old row
+            go["_lsn"].to_numpy(dtype=np.int64) + 1,
+        ]
+    )
+    n_ch = len(ch)
+    # NEW pairs (present): changed docs' new tokens
+    nd, nt = _flat_pairs(np.arange(n_ch), ch["tokens"].to_numpy())
+    # OLD pairs (absent unless re-asserted by a NEW pair): changed docs
+    # that existed before, plus gone docs
+    old_side = pd.concat(
+        [fdf[fdf["doc_id"].isin(ch["doc_id"])], go], ignore_index=True
+    )
+    idx_of = pd.Series(np.arange(len(doc_ids)), index=doc_ids)
+    od, ot = _flat_pairs(
+        idx_of[old_side["doc_id"]].to_numpy(dtype=np.int64),
+        old_side["tokens"].to_numpy(),
+    )
+    d = np.concatenate([nd, od])
+    t = np.concatenate([nt, ot])
+    pres = np.concatenate(
+        [np.ones(len(nd), dtype=np.int8), np.zeros(len(od), dtype=np.int8)]
+    )
+    if len(d) == 0:
         return INDEX_SCHEMA.empty_table()
+    # one sort resolves dedup + liveness: last row per (doc, token) has
+    # the max `present` flag
+    order = np.lexsort((pres, t, d))
+    d, t, pres = d[order], t[order], pres[order]
+    boundary = np.append((d[:-1] != d[1:]) | (t[:-1] != t[1:]), True)
+    d, t, pres = d[boundary], t[boundary], pres[boundary]
     return pa.table(
         {
-            "token": pa.array(np.concatenate(toks_out).astype(np.int32)),
-            "doc_id": pa.array(np.concatenate(docs_out), type=pa.string()),
-            "lsn": pa.array(np.concatenate(lsns_out)),
-            "present": pa.array(np.concatenate(pres_out)),
+            "token": pa.array(t.astype(np.int32)),
+            "doc_id": pa.array(doc_ids[d], type=pa.string()),
+            "lsn": pa.array(doc_lsn[d]),
+            "present": pa.array(pres.astype(bool)),
         },
         schema=INDEX_SCHEMA,
     )
