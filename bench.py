@@ -62,8 +62,16 @@ def _wal_params(sf_dir: str) -> dict:
 
 
 def wal_root(sf_dir: str) -> str:
+    """Bench WAL staging dir. Prefer tmpfs (/dev/shm): this sandbox's
+    kernel proactively reclaims page cache (DAMON), so a disk-backed
+    WAL randomly re-reads ~9 GB at ~240 MB/s in one run and 5 GB/s the
+    next — a 2-3x wall-clock lottery that swamps what the bench is
+    measuring (compute + shuffle scaling). Staging the input in tmpfs
+    removes the virtio-disk variable; the lakes each run writes stay
+    on disk via EngineConfig.root."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/lakecdc_bench_wal_{tag}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return os.path.join(base, f"lakecdc_bench_wal_{tag}")
 
 
 def ensure_wal(sf_dir: str) -> tuple[str, int]:
@@ -253,11 +261,22 @@ def run_scaling() -> dict:
     # cluster does not share (each node brings its own memory bus).
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo_n)))
-    lo = one(lo_n)
-    hi = one(hi_n)
+    # This sandbox VM sees multi-minute waves of host contention that
+    # can halve any single process's throughput (BASELINE.md). Run the
+    # two levels INTERLEAVED, best-of-N per level: the per-level best
+    # is the machine's capability at that parallelism, decorrelated
+    # from which wave a given process landed in.
+    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(attempts):
+        lo_runs.append(one(lo_n))
+        hi_runs.append(one(hi_n))
+    tput = lambda r: r["events_applied"] / r["queries"]["cdc_apply"]  # noqa: E731
+    lo = max(lo_runs, key=tput)
+    hi = max(hi_runs, key=tput)
     # Efficiency on the headline CDC apply (the shuffle-heavy stage).
-    tput_lo = lo["events_applied"] / lo["queries"]["cdc_apply"]
-    tput_hi = hi["events_applied"] / hi["queries"]["cdc_apply"]
+    tput_lo = tput(lo)
+    tput_hi = tput(hi)
     eff = (tput_hi / tput_lo) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency",

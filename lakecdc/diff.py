@@ -44,6 +44,45 @@ CHANGELOG_SCHEMA = pa.schema(
 )
 
 
+def _load_state(files: list[str], engine: str, keys_only: bool) -> pd.DataFrame:
+    """One chain folded to per-key state WITH tombstones and the
+    winning ``_lsn``: for the LWW engine the merged chain directly; for
+    the PARTIAL engine the folded cells with live_view's visibility
+    applied to the payload columns (a field fenced by a newer delete
+    diffs as null, exactly what a reader of either snapshot sees)."""
+    if engine == "partial":
+        cells = _merge_chain(files, include_meta=True, engine=engine)
+        import pyarrow.compute as pc
+
+        alive = pc.greater(cells["_lsn"], cells["_del_lsn"])
+        df = pd.DataFrame(
+            {
+                "doc_id": cells["doc_id"].to_pandas(),
+                "_lsn": cells["_lsn"].to_pandas(),
+                "_deleted": pc.invert(alive).to_pandas(),
+            }
+        )
+        if not keys_only:
+            n = cells.num_rows
+            tok_vis = pc.and_(alive, pc.greater(cells["_tokens_lsn"], cells["_del_lsn"]))
+            src_vis = pc.and_(alive, pc.greater(cells["_source_lsn"], cells["_del_lsn"]))
+            df["tokens"] = pc.if_else(
+                tok_vis, cells["tokens"].combine_chunks(), pa.nulls(n, pa.list_(pa.int32()))
+            ).to_pandas()
+            df["n_tok"] = pc.if_else(
+                tok_vis, cells["n_tok"].combine_chunks(), pa.nulls(n, pa.int32())
+            ).to_pandas()
+            df["source"] = pc.if_else(
+                src_vis, cells["source"].combine_chunks(), pa.nulls(n, pa.string())
+            ).to_pandas()
+        return df
+    cols = ["doc_id"] if keys_only else None
+    t = _merge_chain(
+        files, include_meta=True, engine=engine, columns=cols, keep_tombstones=True
+    ).to_pandas()
+    return t[["doc_id", "_lsn", "_deleted"]] if keys_only else t
+
+
 def _diff_partition(
     files_from: list[str], files_to: list[str], engine: str
 ) -> pa.Table:
@@ -51,18 +90,12 @@ def _diff_partition(
     only live (doc_id, _lsn) — token bytes of the old snapshot are
     never read (column pruning); ``to`` is read with tombstones so
     deletes keep their LSN."""
-    keep_tomb = engine == "lww"
-    to_t = _merge_chain(
-        files_to, include_meta=True, engine=engine, keep_tombstones=keep_tomb
-    ).to_pandas()
+    to_t = _load_state(files_to, engine, keys_only=False)
     if files_from:
-        from_t = _merge_chain(
-            files_from, include_meta=True, engine=engine, columns=["doc_id"]
-        ).to_pandas()[["doc_id", "_lsn"]]
+        from_t = _load_state(files_from, engine, keys_only=True)
+        from_t = from_t[~from_t["_deleted"]][["doc_id", "_lsn"]]
     else:
         from_t = pd.DataFrame({"doc_id": pd.Series(dtype=object), "_lsn": pd.Series(dtype="int64")})
-    if "_deleted" not in to_t.columns:  # partial engine live view
-        to_t["_deleted"] = False
     m = to_t.merge(
         from_t, on="doc_id", how="outer", suffixes=("", "_from"), indicator=True
     )
@@ -87,15 +120,26 @@ def _diff_partition(
             "op": pa.array(op, type=pa.string()),
             "doc_id": pa.array(out["doc_id"], type=pa.string()),
             "tokens": pa.array(
-                [None if d else t for d, t in zip(deleted, tokens)],
+                [
+                    None
+                    if (d or t is None or (isinstance(t, float) and np.isnan(t)))
+                    else t
+                    for d, t in zip(deleted, tokens)
+                ],
                 type=pa.list_(pa.int32()),
             ),
             "n_tok": pa.array(
-                [None if d else v for d, v in zip(deleted, out.get("n_tok", pd.Series([None] * len(out))))],
+                [
+                    None if (d or pd.isna(v)) else int(v)
+                    for d, v in zip(deleted, out.get("n_tok", pd.Series([None] * len(out))))
+                ],
                 type=pa.int32(),
             ),
             "source": pa.array(
-                [None if d else s for d, s in zip(deleted, out.get("source", pd.Series([None] * len(out))))],
+                [
+                    None if (d or pd.isna(s)) else s
+                    for d, s in zip(deleted, out.get("source", pd.Series([None] * len(out))))
+                ],
                 type=pa.string(),
             ),
             "lsn": pa.array(

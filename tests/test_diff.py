@@ -116,3 +116,49 @@ def test_diff_matches_oracle_final_state(lake):
     pd.testing.assert_frame_equal(
         _canon(got), _canon(want.reset_index(drop=True)), check_dtype=False
     )
+
+
+def test_diff_round_trips_on_partial_engine(tmp_root):
+    """The diff also works over a partial-update lake: the emitted
+    full-row changelog (visibility applied — delete-fenced fields are
+    null) round-trips each epoch's live view."""
+    from lakecdc.synth import write_wal as _ww
+
+    cfg = EngineConfig(root=tmp_root, num_buckets=4, merge_engine="partial")
+    cfg.ensure_dirs()
+    _ww(cfg.wal_dir, n_docs=100, n_epochs=3, events_per_epoch=400,
+        seed=13, p_patch=0.4, evolution_epoch=1)
+    apply_all(cfg)
+
+    def canon_np(df):
+        df = df.copy()
+        df["tokens"] = df["tokens"].map(
+            lambda t: None if t is None else tuple(t)
+        )
+        df["n_tok"] = df["n_tok"].map(lambda v: None if pd.isna(v) else int(v))
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    state: dict = {}
+    for e in range(3):
+        ev = collect_changelog(diff_snapshots(cfg, from_epoch=e - 1 if e else None,
+                                              to_epoch=e))
+        for r in ev.itertuples():
+            if r.op == "delete":
+                state.pop(r.doc_id, None)
+            else:
+                state[r.doc_id] = (
+                    None if r.tokens is None else list(r.tokens),
+                    None if pd.isna(r.n_tok) else int(r.n_tok),
+                    r.source,
+                )
+        got = pd.DataFrame(
+            [
+                {"doc_id": k, "tokens": v[0], "n_tok": v[1], "source": v[2]}
+                for k, v in sorted(state.items())
+            ],
+            columns=["doc_id", "tokens", "n_tok", "source"],
+        )
+        want = read_lake_local(cfg, up_to_epoch=e)
+        pd.testing.assert_frame_equal(
+            canon_np(got), canon_np(want), check_dtype=False
+        )
