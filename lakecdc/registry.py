@@ -93,6 +93,45 @@ _WINNOW_SQL = f"""
 """
 
 
+def _hll_table_sql(table_col: str, src: str) -> str:
+    """One table's HLL(p=12) register-rank histogram in pure SQL:
+    splitmix64 (via _mulmod), bucket = top 12 bits, rank = leading
+    zeros of the 12-left-shifted remainder (ones-padded) computed with
+    six shift/compare stages, MAX per register, COUNT per rank, plus
+    the rank-0 row for untouched registers."""
+    U32 = "CAST(4294967296 AS UBIGINT)"
+    return f"""
+        (WITH d AS (SELECT DISTINCT CAST(v AS UBIGINT) AS v FROM ({src})),
+         s1 AS (SELECT xor(v, v >> 30) AS a FROM d),
+         s2 AS (SELECT {_mulmod('a', '13787848793156543929')} AS b FROM s1),
+         s3 AS (SELECT xor(b, b >> 27) AS c FROM s2),
+         s4 AS (SELECT {_mulmod('c', '10723151780598845931')} AS dd FROM s3),
+         h AS (SELECT xor(dd, dd >> 31) AS hv FROM s4),
+         reg AS (SELECT CAST(hv >> 52 AS BIGINT) AS idx,
+                        {_mulmod('hv', '4096')} | 4095 AS rest FROM h),
+         l0 AS (SELECT idx, rest AS v, 0 AS lg FROM reg),
+         l1 AS (SELECT idx, CASE WHEN v >= {U32} THEN v >> 32 ELSE v END AS v,
+                       lg + CASE WHEN v >= {U32} THEN 32 ELSE 0 END AS lg FROM l0),
+         l2 AS (SELECT idx, CASE WHEN v >= 65536 THEN v >> 16 ELSE v END AS v,
+                       lg + CASE WHEN v >= 65536 THEN 16 ELSE 0 END AS lg FROM l1),
+         l3 AS (SELECT idx, CASE WHEN v >= 256 THEN v >> 8 ELSE v END AS v,
+                       lg + CASE WHEN v >= 256 THEN 8 ELSE 0 END AS lg FROM l2),
+         l4 AS (SELECT idx, CASE WHEN v >= 16 THEN v >> 4 ELSE v END AS v,
+                       lg + CASE WHEN v >= 16 THEN 4 ELSE 0 END AS lg FROM l3),
+         l5 AS (SELECT idx, CASE WHEN v >= 4 THEN v >> 2 ELSE v END AS v,
+                       lg + CASE WHEN v >= 4 THEN 2 ELSE 0 END AS lg FROM l4),
+         l6 AS (SELECT idx, lg + CASE WHEN v >= 2 THEN 1 ELSE 0 END AS lg FROM l5),
+         mx AS (SELECT idx, MAX(LEAST(GREATEST(63 - lg + 1, 1), 53)) AS rank
+                FROM l6 GROUP BY 1)
+         SELECT '{table_col}' AS table_col, CAST(rank AS BIGINT) AS rank,
+                COUNT(*) AS n_registers
+         FROM mx GROUP BY 2
+         UNION ALL
+         SELECT '{table_col}', 0, 4096 - (SELECT COUNT(*) FROM mx)
+         WHERE 4096 - (SELECT COUNT(*) FROM mx) > 0)
+    """
+
+
 QUERIES: dict[str, Callable] = {
     # --- filters / maps (SURVEY §2.2) ---
     "filter_project": q.filter_project,
@@ -160,6 +199,8 @@ QUERIES: dict[str, Callable] = {
     "kmv_distinct": sketch.kmv_distinct,  # rows-only
     # SQL-reproducible hash + all-integer estimator: value-checked
     "kmv_verified": sketch.kmv_verified,
+    # full register-state check (rank histogram), no floats anywhere
+    "hll_verified": sketch.hll_verified,
     "heavy_hitters": sketch.heavy_hitters,  # rows-only
     # --- similarity search ---
     "ann_topk": ann.ann_topk,
@@ -570,6 +611,16 @@ ORACLES: dict[str, str] = {
                     FROM blocks GROUP BY 1)
         SELECT t.doc_id, t.width, t.height, t.sum_pixels, r.resized_sum
         FROM tot t JOIN rs r ON t.doc_id = r.doc_id
+    """,
+    # Full HLL register-state replay (see _hll_table_sql). A rank-0
+    # row exists only when some registers are untouched, matching the
+    # engine's histogram of the raw register array.
+    "hll_verified": f"""
+        SELECT * FROM {_hll_table_sql("events.user_id",
+                                      "SELECT user_id AS v FROM events")}
+        UNION ALL
+        SELECT * FROM {_hll_table_sql("lineitem.l_partkey",
+                                      "SELECT l_partkey AS v FROM lineitem")}
     """,
     # Exact SQL replay of the verified KMV sketch: splitmix64 over the
     # distinct keys (same _mulmod HUGEINT arithmetic as the winnowing

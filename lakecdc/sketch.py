@@ -39,14 +39,14 @@ def _hash_u64(values: np.ndarray) -> np.ndarray:
 # HyperLogLog
 # ---------------------------------------------------------------------------
 
-def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+def hll_partial(values: np.ndarray, p: int = 12, hash_fn=None) -> np.ndarray:
     """One batch -> (2^p,) uint8 register array (max leading-zero rank
     per register). Vectorized: one hash, one shift, np.maximum.at."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = _hash_u64(values)
+    h = (hash_fn or _hash_u64)(values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
     # exact vectorized floor(log2): 6 shift/compare rounds (float log2
@@ -179,6 +179,29 @@ def _splitmix64(v: np.ndarray) -> np.ndarray:
     h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return h ^ (h >> np.uint64(31))
+
+
+def hll_verified(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HyperLogLog whose ENTIRE register state the driver value-checks:
+    same streamed register-max summaries as hll_distinct, but with the
+    SQL-reproducible splitmix64 hash, reported as the register-rank
+    HISTOGRAM (rank -> number of registers, rank 0 = untouched) — a
+    stronger check than comparing the scalar estimate, with no float
+    in sight. The oracle recomputes every register in DuckDB (leading
+    zeros via six shift/compare stages)."""
+    out = []
+    for table, col in [("events", "user_id"), ("lineitem", "l_partkey")]:
+        ds = read(sf_dir, table, [col])
+        regs = hll_merge(
+            _summaries(ds, col, lambda v: hll_partial(v, p, _splitmix64))
+        )
+        ranks, counts = np.unique(regs, return_counts=True)
+        for r, n in zip(ranks, counts):
+            out.append(
+                {"table_col": f"{table}.{col}", "rank": int(r), "n_registers": int(n)}
+            )
+    df = pd.DataFrame(out)
+    return df.astype({"rank": "int64", "n_registers": "int64"})
 
 
 def kmv_verified(sf_dir: str, k: int = 1024) -> pd.DataFrame:
