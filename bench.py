@@ -204,10 +204,17 @@ def run_bench() -> dict:
     queries["cdc_apply"] = round(apply_sec, 3)
 
     if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        # Best-of-N per query, same rationale as the apply repeats: a
+        # single timing can land in a host-contention wave (2-4x) and
+        # the second pass also measures warm-actor steady state.
+        q_repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            QUERIES[name](SF_DIR)
-            queries[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(q_repeats):
+                t0 = time.time()
+                QUERIES[name](SF_DIR)
+                best = min(best, time.time() - t0)
+            queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     result = {

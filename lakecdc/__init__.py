@@ -14,6 +14,12 @@ per-partition last-writer-wins merge against the lake (tombstones for
 deletes) -> atomic, idempotent manifest commit per (epoch, partition)
 -> lineage metrics row per partition.
 
+Downstream surfaces: ``lakecdc.diff`` (snapshot-diff changelog — the
+CDC *output* stream), ``lakecdc.index`` (incremental inverted token
+index), ``lakecdc.matview`` (incremental materialized views),
+``lakecdc.lake.lookup`` (pruned point reads), ``lakecdc.compact``
+(chain folding + vacuum).
+
 Everything is built on ``ray.data.Dataset`` + ``map_batches`` over
 zero-copy Arrow batches; no module in this package calls ``ray.init``.
 """

@@ -112,7 +112,9 @@ def make_prep_fn(num_buckets: int, merge_engine: str = "lww"):
         # the parquet reader infers from the directory layout).
         batch = batch.select([c for c in batch.column_names if c in _wal_cols])
         mask = _validation_mask(batch)
-        valid = batch.filter(mask)
+        n_bad = batch.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+        # all-valid batch: skip the filter's full-table copy
+        valid = batch.filter(mask) if n_bad else batch
         # Enforce n_tok == len(tokens) (null for deletes).
         valid = valid.set_column(
             valid.schema.get_field_index("n_tok"),
@@ -123,7 +125,6 @@ def make_prep_fn(num_buckets: int, merge_engine: str = "lww"):
         valid = valid.append_column(
             "_invalid", pa.array([False] * valid.num_rows, type=pa.bool_())
         )
-        n_bad = batch.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
         if n_bad:
             invalid = batch.filter(pc.invert(mask))
             invalid = invalid.set_column(
