@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--max-polls", type=int, default=None,
                 help="stop after this many empty polls (default: forever)",
             )
+            s.add_argument(
+                "--compact-over", type=int, default=None, dest="compact_over",
+                help="auto-compact when any partition's file chain exceeds "
+                "this many entries (bounds merge-on-read read amplification)",
+            )
 
     args = p.parse_args(argv)
     from lakecdc.config import EngineConfig
@@ -165,9 +170,22 @@ def main(argv: list[str] | None = None) -> int:
                     flush=True,
                 )
 
+            def auto_compact():
+                if args.compact_over is None:
+                    return
+                from lakecdc.compact import maybe_compact
+
+                res = maybe_compact(cfg, args.compact_over)
+                if res:
+                    print(
+                        json.dumps({"auto_compacted_partitions": len(res)}),
+                        flush=True,
+                    )
+
             lg = apply_all(cfg, max_epoch=args.max_epoch, fold=args.fold)
             write_rollup(cfg)
             report(lg)
+            auto_compact()
             if args.follow:
                 # Continuous tail: the checkpoint IS the manifest —
                 # each poll applies only epochs past the last commit
@@ -183,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
                         lg = apply_epochs(cfg, new[: max(args.fold, 1)])
                         write_rollup(cfg)
                         report(lg)
+                        auto_compact()
                     else:
                         empty_polls += 1
                         time.sleep(args.poll_sec)

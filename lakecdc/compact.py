@@ -132,6 +132,22 @@ def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
     return {b: ray.get(f) for b, f in futures.items()}
 
 
+def maybe_compact(cfg: EngineConfig, max_chain: int) -> dict[int, dict] | None:
+    """Auto-compaction policy: fold the lake when any partition's
+    merge-on-read file chain exceeds ``max_chain`` entries. The
+    operational knob for continuous MOR tailing (CLI
+    ``apply --compact-over N``): applies stay O(delta) while read
+    amplification is bounded by N. Returns compact()'s result, or
+    None when every chain is within bound."""
+    chains = manifest.partition_chain_stats(cfg)
+    if not chains:
+        return None
+    longest = max(len(entries) for entries in chains.values())
+    if longest <= max_chain:
+        return None
+    return compact(cfg)
+
+
 def vacuum(cfg: EngineConfig, retain_epochs: int = 0) -> list[str]:
     """Delete lake files not referenced by the current snapshot — or,
     with ``retain_epochs=n``, by any as-of view of the last n+1

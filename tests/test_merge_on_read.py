@@ -216,3 +216,24 @@ def test_mor_validate_suite(tmp_root):
     apply_all(cfg)
     results = validate_lake(cfg)
     assert all(ok for _, ok, _ in results), results
+
+
+def test_maybe_compact_bounds_chain_length(tmp_root):
+    """Auto-compaction policy: chains exceeding the bound are folded
+    (and only then), and the lake still equals the oracle."""
+    from lakecdc.compact import maybe_compact
+
+    cfg = make_cfg(tmp_root, write_mode="mor")
+    gen(cfg, n_epochs=4)
+    apply_all(cfg, max_epoch=1)
+    assert maybe_compact(cfg, max_chain=3) is None  # chain len <= 2: no-op
+    apply_all(cfg)  # chains now 4 entries (base + 3 deltas)
+    chains = manifest.partition_chain_stats(cfg)
+    assert max(len(e) for e in chains.values()) > 3
+    res = maybe_compact(cfg, max_chain=3)
+    assert res is not None and len(res) > 0
+    chains = manifest.partition_chain_stats(cfg)
+    assert max(len(e) for e in chains.values()) == 1
+    oracle.assert_lake_equals_oracle(
+        read_lake_local(cfg), oracle.replay(cfg.wal_dir)
+    )
