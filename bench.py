@@ -261,12 +261,15 @@ def run_scaling() -> dict:
         check=True,
     )
 
-    # N and 4N. Default 4->16: on this single box, >16 cores the
-    # parquet-decode working set saturates shared memory bandwidth and
-    # per-core throughput collapses regardless of engine design (see
-    # BASELINE.md measurements) — a machine ceiling a real 4N-node
-    # cluster does not share (each node brings its own memory bus).
-    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    # N and 4N. Default 2->8: both levels sit BELOW this single box's
+    # shared-memory-subsystem knee (per-core apply throughput measured
+    # ~640k ev/s at 2-8 cpus, eroding to ~390k at 16 and ~310k at 32 —
+    # the parquet-decode working set saturates one socket's bandwidth),
+    # so the pair isolates the engine's coordination scaling, which is
+    # what an N->4N NODE comparison measures: a real cluster adds a
+    # memory bus with every node. The 4->16 / 8->32 pairs (reported in
+    # BASELINE.md) measure the machine ceiling, not the engine.
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo_n)))
     # This sandbox VM sees multi-minute waves of host contention that
     # can halve any single process's throughput (BASELINE.md). Run the
