@@ -85,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--out", default=None,
                 help="write the changelog as parquet here instead of printing counts",
             )
+            s.add_argument(
+                "--suppress-unchanged", action="store_true",
+                dest="suppress_unchanged",
+                help="drop no-op updates (new LSN, byte-identical payload)",
+            )
         if name in ("index", "search-token"):
             s.add_argument("--token-buckets", type=int, default=32,
                            dest="token_buckets")
@@ -287,7 +292,10 @@ def main(argv: list[str] | None = None) -> int:
             from lakecdc.diff import diff_snapshots
 
             ds = diff_snapshots(
-                cfg, from_epoch=args.from_epoch, to_epoch=args.to_epoch
+                cfg,
+                from_epoch=args.from_epoch,
+                to_epoch=args.to_epoch,
+                suppress_unchanged_payload=args.suppress_unchanged,
             )
             if args.out:
                 ds.write_parquet(args.out)

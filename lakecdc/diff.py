@@ -84,16 +84,30 @@ def _load_state(files: list[str], engine: str, keys_only: bool) -> pd.DataFrame:
 
 
 def _diff_partition(
-    files_from: list[str], files_to: list[str], engine: str
+    files_from: list[str],
+    files_to: list[str],
+    engine: str,
+    suppress_unchanged_payload: bool = False,
 ) -> pa.Table:
     """Vectorized diff of one partition's two chains. ``from`` needs
     only live (doc_id, _lsn) — token bytes of the old snapshot are
     never read (column pruning); ``to`` is read with tombstones so
-    deletes keep their LSN."""
+    deletes keep their LSN. With ``suppress_unchanged_payload`` the
+    FROM payload is also read and updates whose (tokens, n_tok,
+    source) are byte-identical are dropped (no-op churn suppression)."""
     to_t = _load_state(files_to, engine, keys_only=False)
     if files_from:
-        from_t = _load_state(files_from, engine, keys_only=True)
-        from_t = from_t[~from_t["_deleted"]][["doc_id", "_lsn"]]
+        from_t = _load_state(
+            files_from, engine, keys_only=not suppress_unchanged_payload
+        )
+        from_t = from_t[~from_t["_deleted"]]
+        if suppress_unchanged_payload:
+            from_t = from_t[["doc_id", "_lsn", "tokens", "n_tok", "source"]].rename(
+                columns={"tokens": "_tokens_old", "n_tok": "_n_tok_old",
+                         "source": "_source_old"}
+            )
+        else:
+            from_t = from_t[["doc_id", "_lsn"]]
     else:
         from_t = pd.DataFrame({"doc_id": pd.Series(dtype=object), "_lsn": pd.Series(dtype="int64")})
     m = to_t.merge(
@@ -106,6 +120,25 @@ def _diff_partition(
     is_update = in_to & ~dead & in_from & (m["_lsn"].to_numpy() != m["_lsn_from"].to_numpy())
     # live in FROM and (tombstoned in TO, or gone entirely post-compaction)
     is_delete = in_from & (~in_to | (in_to & dead))
+    if suppress_unchanged_payload and "_tokens_old" in m.columns:
+        def _same_payload(r):
+            if r["_n_tok_old"] != r["n_tok"] and not (
+                pd.isna(r["_n_tok_old"]) and pd.isna(r["n_tok"])
+            ):
+                return False
+            if (r["_source_old"] or None) != (r["source"] or None):
+                return False
+            a, b = r["_tokens_old"], r["tokens"]
+            if a is None or b is None:
+                return a is None and b is None
+            return len(a) == len(b) and bool(np.all(np.asarray(a) == np.asarray(b)))
+
+        upd_idx = np.flatnonzero(is_update)
+        if len(upd_idx):
+            noop = np.array(
+                [_same_payload(m.iloc[i]) for i in upd_idx], dtype=bool
+            )
+            is_update[upd_idx[noop]] = False
     out = m[is_insert | is_update | is_delete].copy()
     op = np.where(
         (out["_merge"] != "left_only") & (out["_deleted"].fillna(True)),
@@ -154,6 +187,7 @@ def diff_snapshots(
     cfg: EngineConfig,
     from_epoch: int | None,
     to_epoch: int | None = None,
+    suppress_unchanged_payload: bool = False,
 ) -> rd.Dataset:
     """Net change stream turning committed snapshot ``from_epoch`` into
     ``to_epoch`` (None = empty lake / latest respectively), as a lazy
@@ -162,7 +196,11 @@ def diff_snapshots(
     Guarantees (tested): applying the emitted events onto snapshot
     ``from_epoch`` under LWW reproduces snapshot ``to_epoch`` per-row
     (token-array equality); ``diff(e, e)`` is empty; unchanged rows
-    are never emitted (the stream is O(changed), not O(lake))."""
+    are never emitted (the stream is O(changed), not O(lake)).
+    ``suppress_unchanged_payload`` additionally drops no-op updates —
+    rows a producer re-wrote with a new LSN but byte-identical
+    (tokens, n_tok, source) — so idempotent producers don't churn
+    downstream consumers (costs reading the FROM payload columns)."""
     view_to = manifest.partition_view(cfg, to_epoch)
     view_from = (
         {} if from_epoch is None else manifest.partition_view(cfg, from_epoch)
@@ -198,7 +236,12 @@ def diff_snapshots(
                     )
                 )
             else:
-                tables.append(_diff_partition(row["from"], row["to"], engine))
+                tables.append(
+                    _diff_partition(
+                        row["from"], row["to"], engine,
+                        suppress_unchanged_payload=suppress_unchanged_payload,
+                    )
+                )
         if not tables:
             return CHANGELOG_SCHEMA.empty_table()
         return pa.concat_tables(tables)

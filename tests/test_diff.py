@@ -162,3 +162,47 @@ def test_diff_round_trips_on_partial_engine(tmp_root):
         pd.testing.assert_frame_equal(
             canon_np(got), canon_np(want), check_dtype=False
         )
+
+
+def test_suppress_unchanged_payload(tmp_path):
+    """No-op churn suppression: a doc re-written with a new LSN but
+    identical payload is dropped from the stream only when asked."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakecdc.schemas import WAL_SCHEMA_V0
+
+    cfg = EngineConfig(root=str(tmp_path / "noop"), num_buckets=2)
+    cfg.ensure_dirs()
+
+    def seg(epoch, rows):
+        d = os.path.join(cfg.wal_dir, f"epoch={epoch:09d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                    "op": pa.array(["upsert"] * len(rows)),
+                    "doc_id": pa.array([r[1] for r in rows]),
+                    "tokens": pa.array([r[2] for r in rows], pa.list_(pa.int32())),
+                    "n_tok": pa.array([len(r[2]) for r in rows], pa.int32()),
+                },
+                schema=WAL_SCHEMA_V0,
+            ),
+            os.path.join(d, "seg-0.parquet"),
+        )
+
+    seg(0, [(1, "a", [1, 2]), (2, "b", [3])])
+    seg(1, [(3, "a", [1, 2]), (4, "b", [4])])  # a = no-op rewrite
+    apply_all(cfg)
+
+    plain = collect_changelog(diff_snapshots(cfg, from_epoch=0, to_epoch=1))
+    assert sorted(plain["doc_id"]) == ["a", "b"]
+    quiet = collect_changelog(
+        diff_snapshots(cfg, from_epoch=0, to_epoch=1,
+                       suppress_unchanged_payload=True)
+    )
+    assert sorted(quiet["doc_id"]) == ["b"]
+    assert (quiet["op"] == "update").all()
