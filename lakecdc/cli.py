@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
         "lookup", "changelog", "refresh-view", "diff", "index",
-        "search-token",
+        "search-token", "relay",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
                 dest="suppress_unchanged",
                 help="drop no-op updates (new LSN, byte-identical payload)",
             )
+        if name == "relay":
+            s.add_argument("--out", required=True,
+                           help="changelog output root (one epoch=N dir per epoch)")
+            s.add_argument("--from-epoch", type=int, default=None, dest="from_epoch")
+            s.add_argument("--suppress-unchanged", action="store_true",
+                           dest="suppress_unchanged")
         if name in ("index", "search-token"):
             s.add_argument("--token-buckets", type=int, default=32,
                            dest="token_buckets")
@@ -315,6 +321,14 @@ def main(argv: list[str] | None = None) -> int:
                         }
                     )
                 )
+        elif args.cmd == "relay":
+            from lakecdc.diff import relay
+
+            eps = relay(
+                cfg, args.out, from_epoch=args.from_epoch,
+                suppress_unchanged_payload=args.suppress_unchanged,
+            )
+            print(json.dumps({"epochs_relayed": eps}))
         elif args.cmd == "index":
             from lakecdc.index import build_index
 

@@ -20,6 +20,9 @@ snapshot A with the ordinary LWW rules reproduces snapshot B exactly
 
 from __future__ import annotations
 
+import glob
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -249,6 +252,52 @@ def diff_snapshots(
     return rd.from_items(items).map_batches(
         task, batch_size=1, batch_format="pyarrow"
     )
+
+
+def relay(
+    cfg: EngineConfig,
+    out_dir: str,
+    from_epoch: int | None = None,
+    suppress_unchanged_payload: bool = False,
+) -> list[int]:
+    """CDC relay: materialize one changelog parquet directory PER
+    newly-committed epoch (``out_dir/epoch=E/``), resuming from the
+    last relayed epoch (or ``from_epoch``). WAL in -> curated
+    changelog out: downstream consumers read ordered, deduplicated,
+    validated change streams without touching the WAL or the lake.
+
+    Exactly-once by the same discipline as the engine: an epoch's
+    output directory is written under a temp name and renamed into
+    place, so a crashed relay re-emits the identical epoch and a
+    completed one is skipped on resume. Returns the epochs relayed."""
+    import shutil
+
+    from lakecdc import manifest
+    from lakecdc.index import complete_epochs  # manifest _complete markers
+
+    os.makedirs(out_dir, exist_ok=True)
+    done_out = {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(out_dir, "epoch=*"))
+    }
+    relayed = []
+    for e in complete_epochs(cfg):
+        if e in done_out or (from_epoch is not None and e < from_epoch):
+            continue
+        prev = e - 1 if e > 0 else None
+        if prev is not None and not manifest.partition_view(cfg, prev):
+            prev = None
+        ds = diff_snapshots(
+            cfg, from_epoch=prev, to_epoch=e,
+            suppress_unchanged_payload=suppress_unchanged_payload,
+        )
+        final = os.path.join(out_dir, f"epoch={e:09d}")
+        tmp = final + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)
+        relayed.append(e)
+    return relayed
 
 
 def collect_changelog(ds: rd.Dataset) -> pd.DataFrame:

@@ -206,3 +206,34 @@ def test_suppress_unchanged_payload(tmp_path):
     )
     assert sorted(quiet["doc_id"]) == ["b"]
     assert (quiet["op"] == "update").all()
+
+
+def test_relay_writes_per_epoch_changelogs_and_resumes(lake, tmp_path):
+    """The CDC relay materializes one changelog dir per committed
+    epoch; a second invocation is a no-op (resume by output listing);
+    the concatenated relayed stream replays to the final lake."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lakecdc.diff import relay
+
+    out = str(tmp_path / "feed")
+    eps = relay(lake, out)
+    assert eps == [0, 1, 2]
+    assert relay(lake, out) == []  # resume: nothing new
+    dirs = sorted(glob.glob(os.path.join(out, "epoch=*")))
+    assert len(dirs) == 3
+    state: dict = {}
+    for d in dirs:
+        ev = pq.read_table(d).to_pandas()
+        for r in ev.itertuples():
+            if r.op == "delete":
+                state.pop(r.doc_id, None)
+            else:
+                state[r.doc_id] = (tuple(r.tokens), int(r.n_tok), r.source)
+    want = read_lake_local(lake)
+    assert len(state) == len(want)
+    for doc, toks in zip(want["doc_id"], want["tokens"]):
+        assert state[doc][0] == tuple(toks)
