@@ -113,6 +113,18 @@ def _diff_partition(
             from_t = from_t[["doc_id", "_lsn"]]
     else:
         from_t = pd.DataFrame({"doc_id": pd.Series(dtype=object), "_lsn": pd.Series(dtype="int64")})
+    return _diff_frames(to_t, from_t, suppress_unchanged_payload)
+
+
+def _diff_frames(
+    to_t: pd.DataFrame,
+    from_t: pd.DataFrame,
+    suppress_unchanged_payload: bool = False,
+) -> pa.Table:
+    """The pure compare kernel: TO per-key state (payload + _lsn +
+    _deleted) vs FROM live keys (doc_id + _lsn [+ renamed _*_old
+    payload when suppressing]) -> changelog table. Split from the
+    chain-reading wrapper so it property-tests without files."""
     m = to_t.merge(
         from_t, on="doc_id", how="outer", suffixes=("", "_from"), indicator=True
     )

@@ -66,3 +66,80 @@ def test_minhash_estimate_bounds(docs):
     n = len(texts)
     agree = (sig[:n] == sig[n:]).mean(axis=1)
     assert (agree == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-diff kernel: for ANY two LWW states built from a random
+# event stream split at a random point, applying the emitted changelog
+# to the earlier state reproduces the later one.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _event_streams(draw):
+    n = draw(st.integers(1, 60))
+    docs = [f"d{i}" for i in range(draw(st.integers(1, 12)))]
+    evs = []
+    for lsn in range(n):
+        doc = draw(st.sampled_from(docs))
+        op = draw(st.sampled_from(["upsert", "delete"]))
+        toks = draw(st.lists(st.integers(0, 99), max_size=5))
+        evs.append((lsn, doc, op, toks))
+    split = draw(st.integers(0, n))
+    return evs, split
+
+
+def _lww_state(evs):
+    """dict doc -> (lsn, deleted, tokens) after LWW replay."""
+    state = {}
+    for lsn, doc, op, toks in evs:
+        state[doc] = (lsn, op == "delete", None if op == "delete" else toks)
+    return state
+
+
+def _state_frames(state, keys_only):
+    import pandas as pd
+
+    rows = sorted(state.items())
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in rows], dtype="object"),
+            "_lsn": pd.Series([v[0] for _, v in rows], dtype="int64"),
+            "_deleted": pd.Series([v[1] for _, v in rows], dtype="bool"),
+        }
+    )
+    if not keys_only:
+        df["tokens"] = [v[2] for _, v in rows]
+        df["n_tok"] = pd.Series(
+            [None if v[2] is None else len(v[2]) for _, v in rows], dtype="Int32"
+        ).astype("object")
+        df["source"] = [None for _ in rows]
+        df = df[["doc_id", "tokens", "n_tok", "source", "_lsn", "_deleted"]]
+    else:
+        df = df[~df["_deleted"]][["doc_id", "_lsn"]]
+    return df
+
+
+@given(_event_streams())
+@settings(max_examples=60, deadline=None)
+def test_diff_frames_round_trip(stream):
+    from lakecdc.diff import _diff_frames
+
+    evs, split = stream
+    a, b = _lww_state(evs[:split]), _lww_state(evs)
+    ev = _diff_frames(_state_frames(b, False), _state_frames(a, True)).to_pandas()
+    # replay the changelog onto A's live view
+    live = {d: v[2] for d, v in a.items() if not v[1]}
+    for r in ev.itertuples():
+        if r.op == "delete":
+            live.pop(r.doc_id, None)
+        else:
+            live[r.doc_id] = list(r.tokens)
+    want = {d: v[2] for d, v in b.items() if not v[1]}
+    assert {k: list(v) for k, v in live.items()} == {
+        k: list(v) for k, v in want.items()
+    }
+    # minimality: an emitted update/insert always changes the winning lsn
+    a_live_lsn = {d: v[0] for d, v in a.items() if not v[1]}
+    for r in ev.itertuples():
+        if r.op != "delete":
+            assert a_live_lsn.get(r.doc_id) != r.lsn
