@@ -241,6 +241,10 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_SKIP_QUERIES="1",  # efficiency is measured on the CDC apply
+            # one timed apply per attempt: the interleaved attempts
+            # below already give best-of-N per level, and the 2-cpu
+            # level is wall-clock expensive
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "1"),
         )
         out = subprocess.run(
             [sys.executable, here],
@@ -276,7 +280,7 @@ def run_scaling() -> dict:
     # two levels INTERLEAVED, best-of-N per level: the per-level best
     # is the machine's capability at that parallelism, decorrelated
     # from which wave a given process landed in.
-    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2"))
+    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(attempts):
         lo_runs.append(one(lo_n))
