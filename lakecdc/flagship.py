@@ -175,6 +175,44 @@ def snapshot_diff_from_events(sf_dir: str, work_root: str | None = None) -> pd.D
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def lineage_rollup_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable LINEAGE: run the engine on the
+    events-derived WAL, then roll the per-(epoch, partition) manifest
+    lineage records up to per-epoch totals. The SQL oracle recomputes
+    them from the derivation: rows_upserted / rows_deleted = distinct
+    doc_ids whose max-LSN event within the epoch is a non-delete /
+    delete (the global per-bucket LWW compact's output, summed over
+    partitions), lsn_lo / lsn_hi = the epoch's LSN extremes."""
+    import glob as _glob
+    import json
+
+    cfg = _write_events_wal(sf_dir, work_root, "lineage")
+    apply_all(cfg)
+    per_epoch: dict[int, dict] = {}
+    for p in sorted(_glob.glob(os.path.join(cfg.manifest_dir, "epoch=*", "part-*.json"))):
+        epoch = int(p.split("epoch=")[1].split(os.sep)[0])
+        with open(p) as f:
+            lg = json.load(f)["lineage"]
+        agg = per_epoch.setdefault(
+            epoch,
+            {"rows_upserted": 0, "rows_deleted": 0, "rows_invalid": 0,
+             "lsn_hi": -1},
+        )
+        agg["rows_upserted"] += lg["rows_upserted"]
+        agg["rows_deleted"] += lg["rows_deleted"]
+        agg["rows_invalid"] += lg["rows_invalid"]
+        # NB: per-partition lsn_lo is measured AFTER the map-side
+        # combiner (batch-split dependent), so only the watermark
+        # (lsn_hi — winners always keep the max LSN) is rolled up.
+        agg["lsn_hi"] = max(agg["lsn_hi"], lg["lsn_hi"])
+    out = pd.DataFrame(
+        [{"epoch": e, **v} for e, v in sorted(per_epoch.items())]
+    )
+    for c in ("epoch", "rows_upserted", "rows_deleted", "rows_invalid", "lsn_hi"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 # Probe tokens for token_index_from_events — mirrored literally in the
 # registry oracle SQL's VALUES list.
 INDEX_PROBE_TOKENS = [0, 7, 42, 123, 250, 500, 777, 999]

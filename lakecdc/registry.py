@@ -21,6 +21,7 @@ from lakecdc import (
     text,
 )
 from lakecdc.flagship import (
+    lineage_rollup_from_events,
     run_flagship,
     run_flagship_from_events,
     snapshot_diff_from_events,
@@ -221,6 +222,8 @@ QUERIES: dict[str, Callable] = {
     "cdc_snapshot_diff": snapshot_diff_from_events,
     # engine + incremental inverted index: probe-token posting digests
     "token_index_lookup": token_index_from_events,
+    # engine + lineage metrics: per-epoch manifest rollup, SQL-replayed
+    "cdc_lineage_rollup": lineage_rollup_from_events,
 }
 
 
@@ -780,6 +783,31 @@ ORACLES: dict[str, str] = {
                       FROM probe p LEFT JOIN post USING (token)
                       GROUP BY 1)
         SELECT CAST(token AS BIGINT) AS token, n_docs, doc_id_sum FROM hits
+    """,
+    # SQL replay of the per-epoch lineage rollup (see
+    # lineage_rollup_from_events): the engine's global per-bucket LWW
+    # compact keeps exactly the max-LSN event per (epoch, doc_id), so
+    # per-epoch upserted/deleted counts are distinct-key winner counts.
+    "cdc_lineage_rollup": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete,
+                          LEAST(3, event_id * 4 // (mx.m + 1)) AS epoch
+                   FROM events, mx),
+             win AS (SELECT * FROM e
+                     QUALIFY row_number() OVER (PARTITION BY epoch, doc_id
+                                                ORDER BY lsn DESC) = 1),
+             per AS (SELECT epoch,
+                            CAST(SUM(CASE WHEN is_delete THEN 0 ELSE 1 END)
+                                 AS BIGINT) AS rows_upserted,
+                            CAST(SUM(CASE WHEN is_delete THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS rows_deleted
+                     FROM win GROUP BY 1),
+             rng AS (SELECT epoch, MAX(lsn) AS lsn_hi FROM e GROUP BY 1)
+        SELECT p.epoch, p.rows_upserted, p.rows_deleted,
+               CAST(0 AS BIGINT) AS rows_invalid, r.lsn_hi
+        FROM per p JOIN rng r USING (epoch)
     """,
     "ann_topk": """
         WITH sims AS (
