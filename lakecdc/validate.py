@@ -141,8 +141,65 @@ def _checks(cfg: EngineConfig) -> list[tuple[str, bool, str]]:
     return results
 
 
+def _index_checks(cfg: EngineConfig, sample_tokens: int = 8) -> list[tuple[str, bool, str]]:
+    """Secondary-index consistency (only when a token index exists):
+    (a) freshness — the index's newest epoch covers the manifest's
+    newest fully-committed epoch; (b) sampled correctness — for a
+    deterministic sample of tokens, the bucket-pruned index lookup
+    equals a brute scan of the live lake. Catches the silent-staleness
+    failure mode of any secondary structure (maintenance skipped or
+    crashed between apply and update_index)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from lakecdc.index import complete_epochs, index_dir, lookup_token
+    from lakecdc.lake import read_lake_local
+
+    idx_epochs = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in _glob.glob(os.path.join(index_dir(cfg), "epoch=*"))
+    )
+    if not idx_epochs:
+        return []  # no index built: nothing to validate
+    done = complete_epochs(cfg)
+    fresh = not done or idx_epochs[-1] >= done[-1]
+    out = [
+        (
+            "index_fresh",
+            fresh,
+            f"index epochs {idx_epochs[-1:]} vs committed {done[-1:]}",
+        )
+    ]
+    # token-bucket count from the layout (tb dirs of the first epoch)
+    tbs = _glob.glob(os.path.join(index_dir(cfg), "epoch=*", "tb=*"))
+    token_buckets = max(
+        (int(os.path.basename(d).split("=")[1]) for d in tbs), default=0
+    ) + 1
+    lake = read_lake_local(cfg)
+    flat = (
+        np.concatenate([np.asarray(t) for t in lake["tokens"] if len(t)])
+        if len(lake)
+        else np.empty(0, dtype=np.int64)
+    )
+    uniq = np.unique(flat)
+    step = max(1, len(uniq) // sample_tokens)
+    ok = True
+    detail = "all sampled tokens match brute scan"
+    for tok in uniq[::step][:sample_tokens]:
+        got = lookup_token(cfg, int(tok), token_buckets=token_buckets)
+        want = sorted(
+            d for d, t in zip(lake["doc_id"], lake["tokens"]) if tok in set(t)
+        )
+        if got != want:
+            ok, detail = False, f"token {int(tok)}: index {len(got)} != scan {len(want)}"
+            break
+    out.append(("index_sampled_lookup", ok, detail))
+    return out
+
+
 def validate_lake(cfg: EngineConfig, raise_on_fail: bool = True) -> list[tuple[str, bool, str]]:
-    results = _checks(cfg)
+    results = _checks(cfg) + _index_checks(cfg)
     failures = [r for r in results if not r[1]]
     if failures and raise_on_fail:
         raise AssertionError(f"lake validation failed: {failures}")

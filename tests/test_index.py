@@ -110,3 +110,25 @@ def test_full_index_after_compaction_and_vacuum(tmp_path):
     assert n > 0
     for tok in _sample_tokens(cfg, k=5):
         assert lookup_token(cfg, tok, token_buckets=4) == _brute(cfg, tok)
+
+
+def test_validate_lake_includes_index_checks(lake):
+    """validate_lake gains index_fresh + sampled-lookup checks when an
+    index exists, and flags a stale index (maintenance behind the
+    manifest)."""
+    import shutil
+
+    from lakecdc.validate import validate_lake
+
+    results = {name: ok for name, ok, _ in validate_lake(lake)}
+    assert results.get("index_fresh") is True
+    assert results.get("index_sampled_lookup") is True
+    # simulate skipped maintenance: drop the newest index epoch
+    newest = sorted(glob.glob(os.path.join(index_dir(lake), "epoch=*")))[-1]
+    backup = os.path.join(lake.root, "idx_backup")
+    shutil.move(newest, backup)
+    try:
+        bad = {name: ok for name, ok, _ in validate_lake(lake, raise_on_fail=False)}
+        assert bad.get("index_fresh") is False
+    finally:
+        shutil.move(backup, newest)
