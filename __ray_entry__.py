@@ -16,7 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from lakecdc.flagship import run_flagship
-from lakecdc.registry import ORACLES, QUERIES
+from lakecdc.registry import DRIVER_QUERIES, ORACLES
 
 
 def entry() -> Any:
@@ -27,8 +27,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return dict(QUERIES)
+    """Curated 50-entry view (the driver records at most ~50 rows per
+    round; see lakecdc.registry.DRIVER_QUERIES — every excluded entry
+    is a redundant twin of a kept one and stays pytest-checked against
+    DuckDB via the FULL registry in tests/test_queries_vs_duckdb.py)."""
+    return dict(DRIVER_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {k: v for k, v in ORACLES.items() if k in DRIVER_QUERIES}

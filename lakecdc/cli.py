@@ -97,7 +97,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--suppress-unchanged", action="store_true",
                            dest="suppress_unchanged")
         if name in ("index", "search-token"):
-            s.add_argument("--token-buckets", type=int, default=32,
+            # default: the modulus pinned in the index's _meta.json
+            # (32 for a fresh index)
+            s.add_argument("--token-buckets", type=int, default=None,
                            dest="token_buckets")
         if name == "search-token":
             s.add_argument("--token", type=int, required=True)
@@ -330,9 +332,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"epochs_relayed": eps}))
         elif args.cmd == "index":
-            from lakecdc.index import build_index
+            from lakecdc.index import build_index, resolved_token_buckets
 
-            n = build_index(cfg, token_buckets=args.token_buckets)
+            tb = args.token_buckets or resolved_token_buckets(cfg)
+            n = build_index(cfg, token_buckets=tb)
             print(json.dumps({"postings_written": int(n)}))
         elif args.cmd == "search-token":
             from lakecdc.index import lookup_token

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -288,10 +289,18 @@ def relay(
     from lakecdc.index import complete_epochs  # manifest _complete markers
 
     os.makedirs(out_dir, exist_ok=True)
-    done_out = {
-        int(os.path.basename(d).split("=")[1])
-        for d in glob.glob(os.path.join(out_dir, "epoch=*"))
-    }
+    # Strict epoch parse: the glob also matches crash-leftover
+    # `epoch=N.tmp.<pid>` temp dirs, which must not count as completed
+    # (and must not crash the int() parse). Stale temp dirs are removed
+    # up front so the re-emit starts clean.
+    epoch_re = re.compile(r"^epoch=(\d+)$")
+    done_out = set()
+    for d in glob.glob(os.path.join(out_dir, "epoch=*")):
+        m = epoch_re.match(os.path.basename(d))
+        if m:
+            done_out.add(int(m.group(1)))
+        elif ".tmp." in os.path.basename(d):
+            shutil.rmtree(d, ignore_errors=True)
     relayed = []
     for e in complete_epochs(cfg):
         if e in done_out or (from_epoch is not None and e < from_epoch):

@@ -26,6 +26,7 @@ maintained by the engine instead of rebuilt per run.
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -55,6 +56,43 @@ def index_dir(cfg: EngineConfig) -> str:
     return os.path.join(cfg.root, "tokindex")
 
 
+def _meta_path(cfg: EngineConfig) -> str:
+    return os.path.join(index_dir(cfg), "_meta.json")
+
+
+def index_meta(cfg: EngineConfig) -> dict | None:
+    """The index's pinned physical parameters (written on first
+    maintenance). Inferring ``token_buckets`` from occupied ``tb=``
+    directories is wrong when the highest buckets happen to be empty
+    at every epoch — the modulus must be recorded, not guessed."""
+    try:
+        with open(_meta_path(cfg)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _pin_meta(cfg: EngineConfig, token_buckets: int) -> None:
+    meta = index_meta(cfg)
+    if meta is None:
+
+        def _w(tmp: str) -> None:
+            with open(tmp, "w") as fh:
+                json.dump({"token_buckets": token_buckets}, fh)
+
+        atomic_write(_meta_path(cfg), _w)
+    elif meta["token_buckets"] != token_buckets:
+        raise ValueError(
+            f"index built with token_buckets={meta['token_buckets']}, "
+            f"maintenance called with {token_buckets}"
+        )
+
+
+def resolved_token_buckets(cfg: EngineConfig) -> int:
+    meta = index_meta(cfg)
+    return meta["token_buckets"] if meta else DEFAULT_TOKEN_BUCKETS
+
+
 def complete_epochs(cfg: EngineConfig) -> list[int]:
     """Epochs whose apply fully committed (the manifest's _complete
     markers) — the safe maintenance points for the index."""
@@ -77,6 +115,30 @@ def _flat_pairs(docs: np.ndarray, toks: np.ndarray) -> tuple[np.ndarray, np.ndar
     return np.repeat(docs, lens), flat
 
 
+def _live_token_state(files: list[str], engine: str) -> pd.DataFrame:
+    """One chain folded to LIVE docs' posting-relevant state
+    ``(doc_id, _lsn, tokens)``. The LWW ``_merge_chain`` already drops
+    tombstones; the PARTIAL engine's folded cells still include dead
+    keys and delete-fenced payloads (``fold_cells`` has no visibility
+    pass), so aliveness (``_lsn > _del_lsn``) and token fencing
+    (fenced tokens index as the empty set) are applied here — the same
+    visibility rule as ``diff._load_state``'s partial branch. Without
+    it, deleted docs' stale tokens were indexed as present."""
+    t = _merge_chain(files, include_meta=True, engine=engine)
+    if engine == "partial":
+        t = t.filter(pc.greater(t["_lsn"], t["_del_lsn"]))
+        tok_vis = pc.greater(t["_tokens_lsn"], t["_del_lsn"])
+        tokens = pc.if_else(
+            pc.and_kleene(tok_vis, pc.is_valid(t["tokens"])),
+            t["tokens"].combine_chunks(),
+            pa.scalar([], type=pa.list_(pa.int32())),
+        )
+        t = pa.table(
+            {"doc_id": t["doc_id"], "_lsn": t["_lsn"], "tokens": tokens}
+        )
+    return t.to_pandas()
+
+
 def _posting_deltas(
     files_from: list[str], files_to: list[str], engine: str
 ) -> pa.Table:
@@ -86,9 +148,9 @@ def _posting_deltas(
     (doc, token) pairs flattened once, deduped and liveness-resolved
     by ONE lexsort + boundary mask (keep max ``present`` per pair) —
     no per-doc numpy calls."""
-    to_df = _merge_chain(files_to, include_meta=True, engine=engine).to_pandas()
+    to_df = _live_token_state(files_to, engine)
     if files_from:
-        fdf = _merge_chain(files_from, include_meta=True, engine=engine).to_pandas()
+        fdf = _live_token_state(files_from, engine)
     else:
         fdf = to_df.iloc[0:0]
     old_lsn = pd.Series(
@@ -173,6 +235,7 @@ def update_index(
     ``from_epoch``: "auto" = the previous epoch; None = full-snapshot
     postings (used for the first index point of a lake whose earlier
     history was compacted + vacuumed away)."""
+    _pin_meta(cfg, token_buckets)
     view_to = manifest.partition_view(cfg, epoch)
     if from_epoch == "auto":
         from_epoch = epoch - 1 if epoch > 0 else None
@@ -254,12 +317,16 @@ def build_index(
 def lookup_token(
     cfg: EngineConfig,
     token: int,
-    token_buckets: int = DEFAULT_TOKEN_BUCKETS,
+    token_buckets: int | None = None,
     up_to_epoch: int | None = None,
 ) -> list[str]:
     """Docs whose live row contains ``token``: read ONE token-bucket's
     chain, filter to the token, LWW-fold per doc_id, keep present.
-    ``up_to_epoch`` time-travels the index like the lake read path."""
+    ``up_to_epoch`` time-travels the index like the lake read path.
+    ``token_buckets`` defaults to the modulus pinned in the index's
+    ``_meta.json`` (never inferred from occupied bucket dirs)."""
+    if token_buckets is None:
+        token_buckets = resolved_token_buckets(cfg)
     tb = token % token_buckets
     files = sorted(
         glob.glob(

@@ -459,22 +459,38 @@ def multiway_left_join(sf_dir: str) -> pd.DataFrame:
 
 
 def anti_join(sf_dir: str) -> pd.DataFrame:
-    """J7 anti-join: universe members with no fact rows.
+    """J7 anti-join: universe members with no fact rows, as a
+    hash-partitioned ``Dataset.join("left_anti")`` — both sides stay
+    distributed and only the single projected key column of the fact
+    side enters the shuffle. (Round-2 fix: the old path built a
+    driver-side Python set of the fact table's distinct keys — driver
+    OOM at 10^10 keys.)
 
     Reference: missing/extra ID set-difference checks
     (scripts/validate_outputs.py:349-365).
     """
-    have = set(read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    import ray
 
-    t = cust.filter(
-        pc.invert(
-            pc.is_in(
-                cust["c_custkey"], value_set=pa.array(sorted(have), type=pa.int64())
-            )
-        )
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    out = cust.join(
+        orders,
+        join_type="left_anti",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
-    return t.to_pandas()
+    df = out.to_pandas()
+    if df.empty:  # preserve the contract schema on an empty result
+        df = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=object)}
+        )
+    return (
+        df[["c_custkey", "c_name"]]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -153,7 +153,12 @@ def _index_checks(cfg: EngineConfig, sample_tokens: int = 8) -> list[tuple[str, 
 
     import numpy as np
 
-    from lakecdc.index import complete_epochs, index_dir, lookup_token
+    from lakecdc.index import (
+        complete_epochs,
+        index_dir,
+        lookup_token,
+        resolved_token_buckets,
+    )
     from lakecdc.lake import read_lake_local
 
     idx_epochs = sorted(
@@ -171,11 +176,10 @@ def _index_checks(cfg: EngineConfig, sample_tokens: int = 8) -> list[tuple[str, 
             f"index epochs {idx_epochs[-1:]} vs committed {done[-1:]}",
         )
     ]
-    # token-bucket count from the layout (tb dirs of the first epoch)
-    tbs = _glob.glob(os.path.join(index_dir(cfg), "epoch=*", "tb=*"))
-    token_buckets = max(
-        (int(os.path.basename(d).split("=")[1]) for d in tbs), default=0
-    ) + 1
+    # the modulus pinned in the index's _meta.json — NOT inferred from
+    # occupied tb= dirs, which undercounts when the highest buckets are
+    # empty at every epoch (round-2 ADVICE fix)
+    token_buckets = resolved_token_buckets(cfg)
     lake = read_lake_local(cfg)
     flat = (
         np.concatenate([np.asarray(t) for t in lake["tokens"] if len(t)])

@@ -237,3 +237,22 @@ def test_relay_writes_per_epoch_changelogs_and_resumes(lake, tmp_path):
     assert len(state) == len(want)
     for doc, toks in zip(want["doc_id"], want["tokens"]):
         assert state[doc][0] == tuple(toks)
+
+
+def test_relay_resumes_past_crash_leftover_tmp_dir(lake, tmp_path):
+    """A crash mid-write leaves ``epoch=N.tmp.<pid>`` in the output
+    dir; resume must neither crash on the non-numeric name nor count
+    that epoch as done — it removes the stale temp dir and re-emits
+    the identical epoch (round-2 ADVICE fix: the old `epoch=*` glob
+    fed 'N.tmp.<pid>' to int())."""
+    import glob as _glob
+    import os
+
+    from lakecdc.diff import relay
+
+    out = str(tmp_path / "feed_crash")
+    os.makedirs(os.path.join(out, "epoch=000000001.tmp.12345"))
+    eps = relay(lake, out)
+    assert eps == [0, 1, 2]
+    assert not _glob.glob(os.path.join(out, "*.tmp.*"))
+    assert relay(lake, out) == []  # clean resume afterwards

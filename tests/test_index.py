@@ -132,3 +132,124 @@ def test_validate_lake_includes_index_checks(lake):
         assert bad.get("index_fresh") is False
     finally:
         shutil.move(backup, newest)
+
+
+def _seg_v1(cfg, epoch, rows):
+    """rows: (lsn, op, doc_id, tokens|None, source|None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    d = os.path.join(cfg.wal_dir, f"epoch={epoch:09d}")
+    os.makedirs(d, exist_ok=True)
+    toks = [r[3] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows]),
+                "doc_id": pa.array([r[2] for r in rows]),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [None if t is None else len(t) for t in toks], pa.int32()
+                ),
+                "source": pa.array([r[4] for r in rows]),
+            },
+            schema=WAL_SCHEMA_V1,
+        ),
+        os.path.join(d, "seg-000.parquet"),
+    )
+
+
+def test_index_partial_engine_excludes_deleted_and_fenced(tmp_path):
+    """Partial merge engine (round-2 ADVICE fix): deleted docs must not
+    be indexed; a post-delete patch resurrects a doc with ONLY its
+    patched fields, so delete-fenced tokens index as the empty set;
+    updates retract old postings."""
+    cfg = EngineConfig(
+        root=str(tmp_path / "pl"), num_buckets=4, merge_engine="partial"
+    )
+    cfg.ensure_dirs()
+    _seg_v1(cfg, 0, [
+        (1, "insert", "d1", [10, 11], "s0"),
+        (2, "insert", "d2", [20, 21], "s0"),
+        (3, "insert", "d3", [30], "s0"),
+    ])
+    _seg_v1(cfg, 1, [
+        (4, "delete", "d1", None, None),       # d1 dead
+        (5, "delete", "d2", None, None),
+        (6, "patch", "d2", None, "s1"),        # resurrect, tokens fenced
+        (7, "patch", "d3", [31], None),        # tokens replaced
+    ])
+    apply_all(cfg)
+    build_index(cfg, token_buckets=4)
+    assert lookup_token(cfg, 10) == []         # deleted doc not indexed
+    assert lookup_token(cfg, 11) == []
+    assert lookup_token(cfg, 20) == []         # fenced tokens: no postings
+    assert lookup_token(cfg, 21) == []
+    assert lookup_token(cfg, 30) == []         # old posting retracted
+    assert lookup_token(cfg, 31) == ["d3"]
+    # time travel: pre-delete epoch still sees the original postings
+    assert lookup_token(cfg, 10, up_to_epoch=0) == ["d1"]
+    assert lookup_token(cfg, 30, up_to_epoch=0) == ["d3"]
+
+
+def test_index_partial_engine_matches_brute(tmp_path):
+    """Randomized partial-engine lake: lookups equal a brute scan of
+    the live view (null/fenced token fields contribute no postings)."""
+    from lakecdc.synth import write_wal as _ww
+
+    cfg = EngineConfig(
+        root=str(tmp_path / "plr"), num_buckets=4, merge_engine="partial"
+    )
+    cfg.ensure_dirs()
+    _ww(
+        cfg.wal_dir, n_docs=80, n_epochs=3, events_per_epoch=300,
+        seed=11, p_patch=0.3, evolution_epoch=1,
+    )
+    apply_all(cfg)
+    build_index(cfg, token_buckets=4)
+    lake_df = read_lake_local(cfg)
+    live = [
+        (d, set(t)) for d, t in zip(lake_df["doc_id"], lake_df["tokens"])
+        if t is not None
+    ]
+    flat = sorted({tok for _, ts in live for tok in ts})
+    step = max(1, len(flat) // 10)
+    for tok in flat[::step][:10] + [max(flat) + 7]:
+        want = sorted(d for d, ts in live if tok in ts)
+        assert lookup_token(cfg, int(tok), token_buckets=4) == want, tok
+
+
+def test_index_meta_pins_token_buckets(lake):
+    """token_buckets is recorded in _meta.json on first maintenance;
+    mismatched maintenance is rejected; lookup/validate resolve the
+    pinned value instead of inferring from occupied tb dirs."""
+    from lakecdc.index import index_meta, resolved_token_buckets
+
+    assert index_meta(lake)["token_buckets"] == TB
+    assert resolved_token_buckets(lake) == TB
+    with pytest.raises(ValueError):
+        update_index(lake, 1, token_buckets=TB * 2)
+
+
+def test_validate_with_empty_top_token_buckets(tmp_path):
+    """The round-2 ADVICE scenario: every token < token_buckets/2, so
+    the highest tb dirs never exist; validation must use the pinned
+    modulus (inferring max(tb)+1 would read the wrong bucket and fail
+    on a perfectly consistent index)."""
+    from lakecdc.validate import validate_lake
+
+    cfg = EngineConfig(root=str(tmp_path / "et"), num_buckets=2)
+    cfg.ensure_dirs()
+    _seg_v1(cfg, 0, [
+        (1, "insert", "a", [0, 1], "s"),
+        (2, "insert", "b", [2, 3], "s"),
+        (3, "insert", "c", [1, 2], "s"),
+    ])
+    apply_all(cfg)
+    build_index(cfg, token_buckets=8)  # tokens 0-3 -> tb 4-7 stay empty
+    results = {n: ok for n, ok, _ in validate_lake(cfg)}
+    assert results["index_sampled_lookup"] is True
+    assert lookup_token(cfg, 2) == ["b", "c"]  # meta-resolved modulus
