@@ -1,9 +1,21 @@
 """Similarity search over the `embeddings` table: brute-force cosine
-top-k (the exact baseline, SQL-checkable) and an IVF-bucketed
-approximate variant (the 100 TB scale path).
+top-k (the exact baseline, SQL-checkable) and IVF / LSH bucketed
+approximate variants (the 100 TB scale path).
+
+Scale shape of the approximate paths (round-2 fix): the index STATE is
+SHARDED — every IVF cell / LSH bucket lives as its own object-store
+ref holding only that cell's (ids, vectors). An actor keeps just the
+tiny routing structure (centroid table / hyperplanes + cell->ref map)
+and fetches the probed cells on demand into a bounded LRU cache, so no
+actor ever holds the corpus matrix. On a multi-node cluster the cell
+objects spill/locate wherever plasma puts them and each query task
+pulls only its nprobe cells — the same block-ref pattern as
+dedup.embedding_near_dup.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -20,6 +32,38 @@ def _matrix(sf_dir: str):
     V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
     Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
     return ids, Vn
+
+
+def _query_stream(sf_dir: str, n_queries: int) -> rd.Dataset:
+    """The query side as a Dataset carrying its own vectors — queries
+    stream with payload; nothing references a shared corpus matrix."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["vec_id"], n_queries))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _norm_queries(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    Q = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+    )
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-30)[:, None]
+    return ids, Qn
+
+
+def _topk_table(out_q: list, out_n: list, out_s: list) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cos_e6": pa.array(out_s, type=pa.int64()),
+        }
+    )
 
 
 def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
@@ -50,13 +94,7 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
             out_q.extend([ids[r]] * len(order))
             out_n.extend(ids[order].tolist())
             out_s.extend(np.floor(s[order] * 1e6 + 0.5).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cos_e6": pa.array(out_s, type=pa.int64()),
-            }
-        )
+        return _topk_table(out_q, out_n, out_s)
 
     out = ds.map_batches(block, batch_format="pyarrow", batch_size=64)
     return (
@@ -66,122 +104,165 @@ def ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     )
 
 
+def build_ivf_cells(
+    ids: np.ndarray, Vn: np.ndarray, n_cells: int = 16, seed: int = 42
+) -> tuple[np.ndarray, dict[int, "ray.ObjectRef"]]:
+    """K-means-lite centroids (seeded, few Lloyd iterations) + one
+    object-store ref PER CELL holding that cell's (ids, vectors).
+    Driver-side build at bench scale; at 100 TB the same layout comes
+    from a Dataset pass (assign cell in map_batches, groupby(cell),
+    per-group put) with centroids trained on a sample."""
+    rng = np.random.default_rng(seed)
+    cent = Vn[rng.choice(len(Vn), size=min(n_cells, len(Vn)), replace=False)]
+    for _ in range(5):  # Lloyd iterations
+        assign = (Vn @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = Vn[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    assign = (Vn @ cent.T).argmax(axis=1)
+    cells = {}
+    for c in range(len(cent)):
+        m = assign == c
+        if m.any():
+            cells[c] = ray.put((ids[m], Vn[m]))
+    return cent, cells
+
+
+class _CellCache:
+    """Bounded LRU of fetched cell shards — caps actor-resident vector
+    bytes regardless of how many distinct cells a long query stream
+    probes."""
+
+    def __init__(self, refs: dict[int, "ray.ObjectRef"], max_cells: int = 64):
+        self.refs = refs
+        self.max_cells = max_cells
+        self.cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+
+    def get(self, c: int):
+        if c in self.cache:
+            self.cache.move_to_end(c)
+            return self.cache[c]
+        if c not in self.refs:
+            return None
+        val = ray.get(self.refs[c])
+        self.cache[c] = val
+        while len(self.cache) > self.max_cells:
+            self.cache.popitem(last=False)
+        return val
+
+
 class IVFIndex:
-    """IVF (inverted-file) ANN: k-means-lite centroids (seeded, few
-    Lloyd iterations), vectors assigned to nearest centroid; a query
-    probes only the closest `nprobe` cells. Stateful actor-pool stage:
-    the index is built ONCE per actor in __init__ from the broadcast
-    matrix; queries stream through __call__.
+    """IVF (inverted-file) ANN as a stateful actor-pool stage. The
+    actor holds ONLY the centroid table and the cell->ref map
+    (metadata); probed cells are fetched on demand through a bounded
+    cache — no actor holds the corpus (round-2 fix: __init__ used to
+    ray.get the full (N, d) matrix per actor).
 
     Approximate by construction -> rows-only check (no SQL oracle);
     recall vs ann_topk is asserted in tests.
     """
 
-    def __init__(self, ref, n_cells: int = 16, nprobe: int = 4, k: int = 5, seed: int = 42):
-        ids, Vn = ray.get(ref)
-        self.ids, self.Vn, self.nprobe, self.k = ids, Vn, nprobe, k
-        rng = np.random.default_rng(seed)
-        cent = Vn[rng.choice(len(Vn), size=min(n_cells, len(Vn)), replace=False)]
-        for _ in range(5):  # Lloyd iterations
-            assign = (Vn @ cent.T).argmax(axis=1)
-            for c in range(len(cent)):
-                m = assign == c
-                if m.any():
-                    v = Vn[m].mean(axis=0)
-                    cent[c] = v / max(np.linalg.norm(v), 1e-30)
-        self.centroids = cent
-        self.assign = (Vn @ cent.T).argmax(axis=1)
-        self.cells = [np.nonzero(self.assign == c)[0] for c in range(len(cent))]
+    def __init__(self, centroids, cell_refs, nprobe: int = 4, k: int = 5):
+        self.centroids = centroids
+        self.cells = _CellCache(cell_refs)
+        self.nprobe, self.k = nprobe, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, Qn = _norm_queries(batch)
         out_q, out_n, out_s = [], [], []
-        for r in batch["qrow"].to_numpy():
-            probes = (self.centroids @ self.Vn[r]).argsort()[::-1][: self.nprobe]
-            cand = np.concatenate([self.cells[c] for c in probes])
-            cand = cand[cand != r]
-            sims = self.Vn[cand] @ self.Vn[r]
-            order = np.lexsort((self.ids[cand], -sims))[: self.k]
-            out_q.extend([self.ids[r]] * len(order))
-            out_n.extend(self.ids[cand[order]].tolist())
+        probes_all = np.argsort(-(Qn @ self.centroids.T), axis=1)[:, : self.nprobe]
+        for i in range(len(qids)):
+            parts = [self.cells.get(int(c)) for c in probes_all[i]]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                continue
+            cand_ids = np.concatenate([p[0] for p in parts])
+            cand_V = np.concatenate([p[1] for p in parts])
+            keep = cand_ids != qids[i]  # exclude self
+            cand_ids, cand_V = cand_ids[keep], cand_V[keep]
+            if len(cand_ids) == 0:
+                continue
+            sims = cand_V @ Qn[i]
+            order = np.lexsort((cand_ids, -sims))[: self.k]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(cand_ids[order].tolist())
             out_s.extend(np.floor(sims[order] * 1e6 + 0.5).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cos_e6": pa.array(out_s, type=pa.int64()),
-            }
-        )
+        return _topk_table(out_q, out_n, out_s)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count):
+    unpack each uint64 to 8 bytes and sum set bits."""
+    b = x.astype(np.uint64).byteswap().view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def build_lsh_buckets(
+    ids: np.ndarray, Vn: np.ndarray, n_planes: int = 6, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray, dict[int, "ray.ObjectRef"]]:
+    """Random-hyperplane codes + one object-store ref PER BUCKET."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, Vn.shape[1]))
+    codes = ((Vn @ planes.T > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+    buckets = {}
+    for c in np.unique(codes):
+        m = codes == c
+        buckets[int(c)] = ray.put((ids[m], Vn[m]))
+    all_codes = np.array(sorted(buckets))
+    return planes, all_codes, buckets
 
 
 class LSHIndex:
-    """Random-hyperplane LSH ANN: vectors bucketed by the sign pattern
-    of `n_planes` seeded random projections; a query probes its own
-    bucket plus the `nprobe` nearest buckets by Hamming distance of
-    the code. Stateful actor-pool stage like IVFIndex; approximate ->
-    rows-only check, recall asserted in tests."""
+    """Random-hyperplane LSH ANN as a stateful actor-pool stage: the
+    actor holds the (n_planes, d) hyperplanes, the occupied-code list
+    and the bucket->ref map; a query's own code is computed from its
+    vector, and its nearest `nprobe` buckets by Hamming distance are
+    fetched through the bounded cache (round-2 fix: no full-matrix
+    ray.get in __init__). Approximate -> rows-only check; recall
+    asserted in tests."""
 
-    def __init__(self, ref, n_planes: int = 6, nprobe: int = 24, k: int = 5, seed: int = 42):
-        ids, Vn = ray.get(ref)
-        self.ids, self.Vn, self.k, self.nprobe = ids, Vn, k, nprobe
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_planes, Vn.shape[1]))
-        codes = (Vn @ self.planes.T > 0) @ (1 << np.arange(n_planes))
-        self.codes = codes.astype(np.int64)
-        self.buckets: dict[int, np.ndarray] = {
-            c: np.nonzero(self.codes == c)[0] for c in np.unique(self.codes)
-        }
-        self.all_codes = np.array(sorted(self.buckets))
+    def __init__(self, planes, all_codes, bucket_refs, nprobe: int = 24, k: int = 5):
+        self.planes = planes
+        self.all_codes = all_codes
+        self.buckets = _CellCache(bucket_refs)
+        self.nprobe, self.k = nprobe, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_q, out_n, out_s = [], [], []
-        for r in batch["qrow"].to_numpy():
-            qc = self.codes[r]
-            ham = np.array([bin(int(qc) ^ int(c)).count("1") for c in self.all_codes])
-            probe = self.all_codes[np.argsort(ham, kind="stable")[: self.nprobe]]
-            cand = np.concatenate([self.buckets[c] for c in probe])
-            cand = cand[cand != r]
-            if len(cand) == 0:
-                continue
-            sims = self.Vn[cand] @ self.Vn[r]
-            order = np.lexsort((self.ids[cand], -sims))[: self.k]
-            out_q.extend([self.ids[r]] * len(order))
-            out_n.extend(self.ids[cand[order]].tolist())
-            out_s.extend(np.floor(sims[order] * 1e6 + 0.5).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cos_e6": pa.array(out_s, type=pa.int64()),
-            }
+        qids, Qn = _norm_queries(batch)
+        qcodes = ((Qn @ self.planes.T > 0) @ (1 << np.arange(len(self.planes)))).astype(
+            np.int64
         )
-
-
-def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
-    ids, Vn = _matrix(sf_dir)
-    ref = ray.put((ids, Vn))
-    qrows = np.nonzero(ids < n_queries)[0]
-    ds = rd.from_arrow(pa.table({"qrow": qrows.astype(np.int64)}))
-    out = ds.map_batches(
-        LSHIndex,
-        fn_constructor_args=(ref,),
-        fn_constructor_kwargs={"k": k},
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=2,
-    )
-    return (
-        out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
-    )
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            ham = _popcount64(np.bitwise_xor(self.all_codes, qcodes[i]))
+            probe = self.all_codes[np.argsort(ham, kind="stable")[: self.nprobe]]
+            parts = [self.buckets.get(int(c)) for c in probe]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                continue
+            cand_ids = np.concatenate([p[0] for p in parts])
+            cand_V = np.concatenate([p[1] for p in parts])
+            keep = cand_ids != qids[i]
+            cand_ids, cand_V = cand_ids[keep], cand_V[keep]
+            if len(cand_ids) == 0:
+                continue
+            sims = cand_V @ Qn[i]
+            order = np.lexsort((cand_ids, -sims))[: self.k]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(np.floor(sims[order] * 1e6 + 0.5).astype(np.int64).tolist())
+        return _topk_table(out_q, out_n, out_s)
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     ids, Vn = _matrix(sf_dir)
-    ref = ray.put((ids, Vn))
-    qrows = np.nonzero(ids < n_queries)[0]
-    ds = rd.from_arrow(pa.table({"qrow": qrows.astype(np.int64)}))
-    out = ds.map_batches(
+    cent, cells = build_ivf_cells(ids, Vn)
+    del Vn  # the driver frees the dense matrix; only cell refs remain
+    out = _query_stream(sf_dir, n_queries).map_batches(
         IVFIndex,
-        fn_constructor_args=(ref,),
+        fn_constructor_args=(cent, cells),
         fn_constructor_kwargs={"k": k},
         batch_format="pyarrow",
         batch_size=64,
@@ -191,4 +272,21 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
         out.to_pandas()
         .sort_values(["query_id", "neighbor_id"])
         .reset_index(drop=True)
+    )
+
+
+def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    ids, Vn = _matrix(sf_dir)
+    planes, all_codes, buckets = build_lsh_buckets(ids, Vn)
+    del Vn
+    out = _query_stream(sf_dir, n_queries).map_batches(
+        LSHIndex,
+        fn_constructor_args=(planes, all_codes, buckets),
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return (
+        out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     )

@@ -64,7 +64,9 @@ def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 # Exact token-set Jaccard (the SQL-checkable ground truth)
 # ---------------------------------------------------------------------------
 
-def jaccard_dupes(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+def jaccard_dupes(
+    sf_dir: str, threshold: float = 0.8, _max_cells: int = 500_000_000
+) -> pd.DataFrame:
     """All pairs (a < b) of documents with token-SET Jaccard >=
     threshold. Exact semantics: |A∩B| / |A∪B| over distinct
     whitespace tokens.
@@ -78,6 +80,15 @@ def jaccard_dupes(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     docs = read_small(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
     sets = _token_sets(docs["text"])
     vocab = sorted(set().union(*sets)) if sets else []
+    # Guard the O(N·V) dense matrix: this operator is the brute-force
+    # VERIFIER, never the scale path. Refuse before allocating a
+    # driver-OOM-sized matrix and point at the LSH pipeline instead.
+    if len(docs) * max(len(vocab), 1) > _max_cells:
+        raise ValueError(
+            f"jaccard_dupes is the brute-force verifier (dense "
+            f"{len(docs)}x{len(vocab)} doc-vocab matrix on the driver); "
+            "use minhash_lsh_pairs for corpora at scale"
+        )
     vidx = {w: i for i, w in enumerate(vocab)}
     M = np.zeros((len(docs), len(vocab)), dtype=np.int32)
     for i, s in enumerate(sets):

@@ -572,30 +572,37 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     doc_id per identical text. Reference: `drop_duplicates()` on the
     multi-cycle union (scripts/combine_csv.py:69,128).
 
-    Ray-Data shape: content-hash in map_batches (vectorized) ->
-    groupby(hash) -> first-per-group. The hash, not the full text, is
-    the shuffle key at scale.
+    Ray-Data shape: vectorized SipHash content-hash in map_batches ->
+    groupby(hash bucket) -> first-per-TEXT per group (collision-proof:
+    the hash only routes, equality is decided on the content). The
+    hash, not the full text, is the shuffle key at scale. The md5
+    output column is computed ONLY for the surviving (deduped) rows —
+    per-row md5 never runs over the full corpus (round-2 fix).
     """
     import hashlib
 
+    from lakecdc.dedup import _hash_str_array
+
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        t = t.append_column("text_md5", pa.array(h))
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = _hash_str_array(t["text"].to_pandas().to_numpy(dtype=object))
         # Fixed partition count: per-partition work stays vectorized
         # regardless of how many distinct hashes exist.
-        bucket = [int(x[:8], 16) % 64 for x in h]
-        return t.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        return t.append_column(
+            "bucket", pa.array((h % 64).astype("int64"), type=pa.int64())
+        )
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["text_md5", "doc_id"], kind="stable")
-        return g.drop_duplicates("text_md5", keep="first")
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text", "doc_id"], kind="stable")
+        g = g.drop_duplicates("text", keep="first")
+        g["text_md5"] = [hashlib.md5(x.encode()).hexdigest() for x in g["text"]]
+        return g[["doc_id", "text", "lang", "text_md5"]]
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(first_per_hash, batch_format="pandas")
+        .map_groups(first_per_text, batch_format="pandas")
     )
     return out.to_pandas()[["doc_id", "text", "lang", "text_md5"]]
 

@@ -210,42 +210,50 @@ def hopping_window(sf_dir: str) -> pd.DataFrame:
 
 def asof_join(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each event, the customer's most recent order at
-    or before the event time (match on key, nearest earlier ts) —
-    merge_asof per key partition after an in-partition sort. The
-    partitioning assumption: both sides hash-partitioned by the SAME
-    key (user_id == o_custkey), time-sorted within partition.
+    or before the event time (match on key, nearest earlier ts).
+    BOTH sides are distributed Datasets hash-bucketed by the SAME key
+    (user_id == o_custkey): each side maps to a tagged common schema,
+    the union shuffles once on the bucket, and each group runs ONE
+    vectorized ``merge_asof(by=key)`` after an in-group sort. (Round-2
+    fix: the orders side was materialized to driver pandas and
+    broadcast — at 100 TB the right side must shuffle like the left.)
 
     Output: one row per event that has a matching earlier order.
     """
-    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = read_small(
-        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
-    ).to_pandas()
-    import ray
-
-    orders_sorted = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    # Keep, per (custkey, orderdate), the LAST order (ties: max
-    # orderkey) — merge_asof picks one row per timestamp, make it
-    # deterministic and SQL-expressible.
-    orders_dedup = orders_sorted.drop_duplicates(
-        ["o_custkey", "o_orderdate"], keep="last"
-    )
-    # Bucket BOTH sides by hash(key) % P (the priority_dedup pattern):
-    # one vectorized merge_asof(by=key) per bucket, not one tiny pandas
-    # task + full-orders scan per key. The small side is pre-split by
-    # bucket on the driver and broadcast once.
     P = 32
-    orders_dedup = orders_dedup.assign(
-        bucket=(orders_dedup["o_custkey"] % P).astype("int64")
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     )
-    by_bucket = {
-        int(b): g.drop(columns=["bucket"]).sort_values(["o_orderdate", "o_custkey"])
-        for b, g in orders_dedup.groupby("bucket")
-    }
-    oref = ray.put(by_bucket)
+    _null = lambda n, t: pa.nulls(n, t)  # noqa: E731
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return with_int_bucket(t, "user_id", P)
+    def tag_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "is_event": pa.array([True] * n, pa.bool_()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "o_orderkey": _null(n, pa.int64()),
+                "price_cents": _null(n, pa.int64()),
+            }
+        )
+        return with_int_bucket(out, "key", P)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out = pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "ts": t["o_orderdate"],
+                "is_event": pa.array([False] * n, pa.bool_()),
+                "event_id": _null(n, pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_cents": cents(t["o_totalprice"]),
+            }
+        )
+        return with_int_bucket(out, "key", P)
 
     _EMPTY = pd.DataFrame(
         {
@@ -257,17 +265,21 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
     )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(oref).get(int(g["bucket"].iloc[0]))
-        if right is None:
+        left = g[g["is_event"]][["event_id", "key", "ts"]]
+        right = g[~g["is_event"]][["key", "ts", "o_orderkey", "price_cents"]]
+        if left.empty or right.empty:
             return _EMPTY
-        g = g.sort_values("ts")
+        # Keep, per (key, orderdate), the LAST order (ties: max
+        # orderkey) — merge_asof picks one row per timestamp, make it
+        # deterministic and SQL-expressible.
+        right = right.sort_values(["key", "ts", "o_orderkey"]).drop_duplicates(
+            ["key", "ts"], keep="last"
+        )
         m = pd.merge_asof(
-            g,
-            right,
-            left_on="ts",
-            right_on="o_orderdate",
-            left_by="user_id",
-            right_by="o_custkey",
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="key",
             direction="backward",
         )
         m = m.dropna(subset=["o_orderkey"])
@@ -276,17 +288,18 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
-                "user_id": m["user_id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
                 "o_orderkey": m["o_orderkey"].astype("int64"),
-                "order_cents": np.floor(m["o_totalprice"] * 100 + 0.5).astype("int64"),
+                "order_cents": m["price_cents"].astype("int64"),
             }
         )
 
-    out = (
-        ev.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+    tagged = ev.map_batches(
+        tag_events, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
+    out = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     return out.to_pandas()
 
 

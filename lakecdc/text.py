@@ -10,8 +10,6 @@ SURVEY §2.3.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -97,22 +95,30 @@ class LangId:
     }
 
     def __init__(self):
-        import re
-
-        self.split = re.compile(r"\s+")
+        self.langs = sorted(self.PROFILES)
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"]:
-            words = set(self.split.split(text.strip().lower()))
-            best, best_score = "unk", -1
-            for lang, prof in sorted(self.profiles.items()):
-                score = len(words & prof)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
-        batch["pred_lang"] = preds
+        """Vectorized scoring (no per-doc Python loop): explode the
+        batch to distinct (doc, word) pairs once, one ``isin`` per
+        language profile, scatter-add votes, then a single argmax.
+        ``argmax`` keeps the FIRST maximum over the sorted language
+        list — identical to the oracle's ``ORDER BY s DESC, plang``."""
+        batch = batch.reset_index(drop=True)
+        words = batch["text"].str.strip().str.lower().str.split(r"\s+", regex=True)
+        ex = words.explode()
+        pairs = pd.DataFrame(
+            {"doc": ex.index.to_numpy(), "w": ex.to_numpy()}
+        ).drop_duplicates()
+        docs = pairs["doc"].to_numpy()
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = pairs["w"].isin(self.profiles[lang]).to_numpy()
+            if hit.any():
+                np.add.at(scores[:, j], docs[hit], 1)
+        batch["pred_lang"] = np.array(self.langs, dtype=object)[
+            scores.argmax(axis=1)
+        ]
         return batch[["doc_id", "lang", "pred_lang"]]
 
 
@@ -185,14 +191,25 @@ def winnowing_fingerprints(
 
 
 def fingerprint_census(sf_dir: str) -> pd.DataFrame:
-    """Document fingerprinting (md5 of exact text) + distinct-count per
+    """Document fingerprinting (content hash) + distinct-count per
     source — the exact-dup census a corpus pipeline runs first.
-    Reference: A7 duplicate census (scripts/merge_support.py:68-78)."""
+    Reference: A7 duplicate census (scripts/merge_support.py:68-78).
+
+    The fingerprint is the vectorized 64-bit SipHash (no per-row
+    Python; round-2 fix — md5 stays only in oracle-replay paths whose
+    OUTPUT is the md5 itself, e.g. exact_dedup's text_md5 column).
+    Distinct-count equality with the md5 oracle holds absent 64-bit
+    collisions; at 10^9+ docs widen to 128 bits (two independent
+    SipHash keys) the same way."""
+    from lakecdc.dedup import _hash_str_array
+
     ds = read(sf_dir, "documents", ["source", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"source": t["source"], "fp": pa.array(h)})
+        h = _hash_str_array(t["text"].to_pandas().to_numpy(dtype=object))
+        return pa.table(
+            {"source": t["source"], "fp": pa.array(h.astype("int64"))}
+        )
 
     hashed = ds.map_batches(f, batch_format="pyarrow")
 

@@ -283,3 +283,56 @@ def test_entry_contract():
     assert list(df.columns) == ["doc_id", "n_tok", "source"]
     ks = e.queries().keys()
     assert set(e.oracle_sql()).issubset(ks)
+
+
+def test_jaccard_dupes_guard_refuses_at_scale():
+    """The dense doc-x-vocab verifier refuses corpora beyond its
+    bound and points at the LSH scale path."""
+    from lakecdc import dedup
+
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.jaccard_dupes(SF_DIR, _max_cells=10)
+
+
+def test_ann_index_state_is_sharded():
+    """Round-2 fix: the approximate ANN indexes must not hold the
+    corpus matrix in actor state. The routing structure is tiny
+    (centroids / planes + refs); vector bytes enter only through the
+    bounded cell cache, and only for probed cells."""
+    import numpy as np
+
+    from lakecdc import ann
+
+    ids, Vn = ann._matrix(SF_DIR)
+    full_bytes = Vn.nbytes
+    cent, cells = ann.build_ivf_cells(ids, Vn)
+    idx = ann.IVFIndex(cent, cells, nprobe=4, k=5)
+    # before any query: routing only, zero vector payload resident
+    assert cent.nbytes < full_bytes / 4
+    assert len(idx.cells.cache) == 0
+    # one query batch: only the probed cells are fetched
+    import pyarrow as pa
+
+    q = pa.table(
+        {
+            "vec_id": pa.array(ids[:2], type=pa.int64()),
+            "embedding": pa.array([list(map(float, Vn[0])), list(map(float, Vn[1]))]),
+        }
+    )
+    idx(q)
+    assert 0 < len(idx.cells.cache) <= 2 * idx.nprobe
+    resident = sum(v.nbytes for _, v in idx.cells.cache.values())
+    assert resident < full_bytes  # strictly less than the corpus
+
+    # LRU bound: cache never exceeds max_cells
+    idx.cells.max_cells = 2
+    for c in list(cells):
+        idx.cells.get(int(c))
+    assert len(idx.cells.cache) <= 2
+
+    planes, all_codes, buckets = ann.build_lsh_buckets(ids, Vn)
+    l = ann.LSHIndex(planes, all_codes, buckets, nprobe=4, k=5)
+    assert planes.nbytes + all_codes.nbytes < full_bytes / 4
+    assert len(l.buckets.cache) == 0
+    l(q)
+    assert 0 < len(l.buckets.cache) <= 2 * 4
