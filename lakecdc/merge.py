@@ -98,6 +98,39 @@ def compact_events(table: pa.Table) -> pa.Table:
     return table.take(pa.array(idx_np[mask]))
 
 
+def compact_keep_mask(table: pa.Table, valid: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask form of the batch-local LWW combiner: keeps,
+    per doc_id, the max-LSN VALID event, plus EVERY invalid row (rare;
+    they ship marked ``_invalid`` so the merger can count them into
+    lineage). The caller applies the mask with ONE ``filter`` — the
+    wide token payload is copied exactly once, into the ~combined
+    output, instead of the old valid-rows filter + sort-take pair that
+    copied the full batch twice.
+
+    No sort at all: dictionary-encode doc_id once, scatter-max the
+    LSNs per code, keep rows whose LSN equals their code's max. Rows
+    tied on (doc_id, lsn) are ALL kept — lossless for LWW, since the
+    reducer's fold resolves equal-LSN rows by input order exactly as
+    it already does for rows from different batches."""
+    n = table.num_rows
+    if n <= 1:
+        return np.ones(n, dtype=bool)
+    codes = (
+        pc.fill_null(pc.dictionary_encode(table["doc_id"]).combine_chunks().indices, -1)
+        .to_numpy()
+        .astype(np.int64, copy=False)
+    )
+    lsn = pc.fill_null(table["lsn"], np.iinfo(np.int64).min).to_numpy()
+    vw = valid & (codes >= 0)
+    if not vw.any():  # nothing to compact — ship the batch as-is
+        return np.ones(n, dtype=bool)
+    best = np.full(int(codes.max()) + 1, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(best, codes[vw], lsn[vw])
+    keep = ~valid
+    keep |= vw & (lsn == best[np.clip(codes, 0, None)])
+    return keep
+
+
 def events_to_lake_rows(events: pa.Table) -> pa.Table:
     """Convert WAL events to physical lake-file rows:
     op -> `_deleted` tombstone flag, lsn -> `_lsn`; delete payloads are
