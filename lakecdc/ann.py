@@ -130,12 +130,71 @@ def build_ivf_cells(
     return cent, cells
 
 
+def build_ivf_cells_streaming(
+    sf_dir: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    flush_rows: int = 65_536,
+    sample_every: int = 7,
+) -> tuple[np.ndarray, dict[int, list]]:
+    """Memory-bounded IVF build: the driver never holds the corpus.
+
+    Pass 1 streams a deterministic 1/``sample_every`` sample of the
+    embeddings to train the centroids (Lloyd on the sample only);
+    pass 2 streams every batch, assigns cells, and flushes each cell's
+    buffer to its own ``ray.put`` object whenever it exceeds
+    ``flush_rows`` — so a cell is a LIST of object refs and driver
+    peak memory is O(n_cells x flush_rows), independent of corpus
+    size. On a multi-node cluster the flushed shards spill/locate
+    wherever plasma puts them."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    sample = []
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids, Vn = _norm_queries(b)  # same (ids, unit-rows) kernel
+        sample.append(Vn[ids % sample_every == 0])
+    S = np.concatenate(sample)
+    rng = np.random.default_rng(seed)
+    cent = S[rng.choice(len(S), size=min(n_cells, len(S)), replace=False)]
+    for _ in range(5):  # Lloyd on the sample
+        assign = (S @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = S[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+
+    bufs: dict[int, list] = {}
+    cells: dict[int, list] = {}
+
+    def flush(c: int) -> None:
+        i, v = zip(*bufs.pop(c))
+        cells.setdefault(c, []).append(
+            ray.put((np.concatenate(i), np.concatenate(v)))
+        )
+
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids, Vn = _norm_queries(b)
+        assign = (Vn @ cent.T).argmax(axis=1)
+        for c in np.unique(assign):
+            m = assign == c
+            buf = bufs.setdefault(int(c), [])
+            buf.append((ids[m], Vn[m]))
+            if sum(len(x[0]) for x in buf) >= flush_rows:
+                flush(int(c))
+    for c in list(bufs):
+        flush(c)
+    return cent, cells
+
+
 class _CellCache:
     """Bounded LRU of fetched cell shards — caps actor-resident vector
     bytes regardless of how many distinct cells a long query stream
-    probes."""
+    probes. A cell's value may be a single ref or a LIST of refs (the
+    streaming builder flushes big cells in parts); parts are fetched
+    and concatenated on first touch."""
 
-    def __init__(self, refs: dict[int, "ray.ObjectRef"], max_cells: int = 64):
+    def __init__(self, refs: dict[int, object], max_cells: int = 64):
         self.refs = refs
         self.max_cells = max_cells
         self.cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
@@ -146,7 +205,15 @@ class _CellCache:
             return self.cache[c]
         if c not in self.refs:
             return None
-        val = ray.get(self.refs[c])
+        r = self.refs[c]
+        if isinstance(r, list):
+            parts = ray.get(r)
+            val = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        else:
+            val = ray.get(r)
         self.cache[c] = val
         while len(self.cache) > self.max_cells:
             self.cache.popitem(last=False)
@@ -164,7 +231,7 @@ class IVFIndex:
     recall vs ann_topk is asserted in tests.
     """
 
-    def __init__(self, centroids, cell_refs, nprobe: int = 4, k: int = 5):
+    def __init__(self, centroids, cell_refs, nprobe: int = 6, k: int = 5):
         self.centroids = centroids
         self.cells = _CellCache(cell_refs)
         self.nprobe, self.k = nprobe, k
@@ -257,9 +324,9 @@ class LSHIndex:
 
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
-    ids, Vn = _matrix(sf_dir)
-    cent, cells = build_ivf_cells(ids, Vn)
-    del Vn  # the driver frees the dense matrix; only cell refs remain
+    # Streaming build: the driver holds at most one batch + the cell
+    # flush buffers — never the corpus matrix.
+    cent, cells = build_ivf_cells_streaming(sf_dir)
     out = _query_stream(sf_dir, n_queries).map_batches(
         IVFIndex,
         fn_constructor_args=(cent, cells),

@@ -482,6 +482,37 @@ def simhash_fingerprints(sf_dir: str, hash_backend: str = "siphash") -> pd.DataF
 # Embedding cosine near-dup (SQL-checkable via list_cosine_similarity)
 # ---------------------------------------------------------------------------
 
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    """One corpus shard: vec_id + unit-normalized vectors as
+    list<float64> (flat buffer reconstructs to a matrix zero-copy)."""
+    ids = batch["vec_id"].to_numpy()
+    V = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+    )
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+    n, d = Vn.shape
+    flat = pa.array(Vn.reshape(-1))
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64))
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "vn": pa.LargeListArray.from_arrays(offs, flat),
+        }
+    )
+
+
+def _block_to_matrix(block: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = block["vec_id"].to_numpy()
+    arr = block["vn"].combine_chunks()
+    flat = arr.values.to_numpy()
+    return flat.reshape(len(ids), -1), ids
+
+
+@ray.remote
+def _block_lo(block: pa.Table) -> int:
+    return int(block["vec_id"][0].as_py()) if block.num_rows else 2**62
+
+
 def embedding_near_dup(
     sf_dir: str, threshold: float = 0.9, block_rows: int = 4096
 ) -> pd.DataFrame:
@@ -492,23 +523,31 @@ def embedding_near_dup(
     a task fetches exactly two blocks, never the whole corpus, so the
     plan holds when the matrix exceeds a worker's heap. (The
     brute-force O(N²/2) tile count is the point of this operator — the
-    sub-quadratic path is the LSH/IVF family.)"""
-    emb = (
-        read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .to_pandas()
-        .sort_values("vec_id")  # block order == id order, so the a<b
-        .reset_index(drop=True)  # dedupe is purely within/forward tiles
+    sub-quadratic path is the LSH/IVF family.)
+
+    The block shards are BUILT distributed too (round-2 fix: the
+    driver used to to_pandas() the whole table before ray.put):
+    normalization runs in map_batches, the normalized Dataset is
+    materialized, and the tile tasks fetch the materialized BLOCK refs
+    straight from plasma — the driver only ever holds refs + block id
+    ranges, never vector payload. `mat` is kept referenced until the
+    tiles finish so the blocks stay pinned."""
+    norm = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        # block order == id order, so the a<b dedupe is purely
+        # within/forward tiles
+        .sort("vec_id")
+        .map_batches(_normalize_batch, batch_format="pyarrow", batch_size=block_rows)
     )
-    ids = emb["vec_id"].to_numpy()
-    V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
-    norms = np.linalg.norm(V, axis=1)
-    Vn = V / np.maximum(norms, 1e-30)[:, None]
-    n_blocks = max(1, -(-len(ids) // block_rows))
-    bounds = np.linspace(0, len(ids), n_blocks + 1).astype(np.int64)
-    block_refs = [
-        ray.put((Vn[lo:hi], ids[lo:hi]))
-        for lo, hi in zip(bounds[:-1], bounds[1:])
-    ]
+    mat = norm.materialize()
+    block_refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    # Deterministic tile order: sort refs by each block's min vec_id
+    # (cheap metadata pass — one tiny column per block).
+    los = ray.get([_block_lo.remote(r) for r in block_refs])
+    block_refs = [r for _, r in sorted(zip(los, block_refs), key=lambda x: x[0])]
+    n_blocks = len(block_refs)
 
     tiles = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
     ds = rd.from_items([{"i": i, "j": j} for i, j in tiles])
@@ -516,8 +555,8 @@ def embedding_near_dup(
     def tile(batch: pa.Table) -> pa.Table:
         outs = []
         for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
-            Va, ida = ray.get(block_refs[i])
-            Vb, idb = ray.get(block_refs[j])
+            Va, ida = _block_to_matrix(ray.get(block_refs[i]))
+            Vb, idb = _block_to_matrix(ray.get(block_refs[j]))
             sims = Va @ Vb.T
             a_idx, b_idx = np.nonzero(sims >= threshold)
             a_ids, b_ids = ida[a_idx], idb[b_idx]
