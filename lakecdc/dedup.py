@@ -442,6 +442,112 @@ def _md5_u64_array(a: np.ndarray) -> np.ndarray:
     return hs[inv]
 
 
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard (distributed inverted-gram join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+    max_gram_docs: int | None = None,
+) -> pd.DataFrame:
+    """All pairs (a < b) with character n-gram-SET Jaccard >=
+    threshold — fully distributed, no driver matrix and no all-pairs
+    scan: an inverted-gram join.
+
+      map_batches: per doc, DISTINCT n-grams (one vectorized
+          lookahead-regex findall per batch) + the doc's gram-set
+          size, exploded to (bucket, gram, doc_id, sz) rows
+      groupby(gram-hash bucket): within a bucket, a self-merge on
+          gram yields co-occurring doc pairs; per-pair partial
+          intersection counts are summed IN the group (each gram
+          lives in exactly one bucket, so per-bucket pair counts are
+          already final partials) and emitted as (a, b, inter, sa, sb)
+      tiny final groupby((a, b)): sums partials across buckets,
+          jaccard = inter / (sa + sb - inter), threshold filter.
+
+    Only (gram, doc) rows shuffle — never text, never pairs that
+    share no gram. `max_gram_docs` is the scale knob: a gram shared
+    by more than that many docs is dropped before pairing (a standard
+    document-frequency cut — ubiquitous grams carry no signal but
+    cost O(df^2) pairs). Default None = exact, equal to the SQL
+    all-pairs oracle."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            batch.set_index("doc_id")["text"]
+            .str.findall(rf"(?s)(?=(.{{{n}}}))")
+            .explode()
+            .dropna()
+            .reset_index()
+            .drop_duplicates()
+        )
+        ex.columns = ["doc_id", "g"]
+        sz = ex.groupby("doc_id")["g"].size()
+        ex["sz"] = ex["doc_id"].map(sz).astype(np.int64)
+        ex["bucket"] = (
+            _hash_str_array(ex["g"].to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return ex[["bucket", "g", "doc_id", "sz"]]
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if max_gram_docs is not None:
+            df_count = g.groupby("g")["doc_id"].transform("size")
+            g = g[df_count <= max_gram_docs]
+        m = g.merge(g, on="g", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "inter": pd.Series(dtype="int64"),
+                    "sa": pd.Series(dtype="int64"),
+                    "sb": pd.Series(dtype="int64"),
+                }
+            )
+        out = (
+            m.groupby(["doc_id_a", "doc_id_b", "sz_a", "sz_b"], as_index=False)
+            .size()
+            .rename(
+                columns={
+                    "doc_id_a": "doc_a",
+                    "doc_id_b": "doc_b",
+                    "sz_a": "sa",
+                    "sz_b": "sb",
+                    "size": "inter",
+                }
+            )
+        )
+        return out[["doc_a", "doc_b", "inter", "sa", "sb"]].astype("int64")
+
+    partials = (
+        ds.map_batches(grams, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pair_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard_e6": pd.Series(dtype="int64"),
+            }
+        )
+    tot = partials.groupby(["doc_a", "doc_b", "sa", "sb"], as_index=False)[
+        "inter"
+    ].sum()
+    j = tot["inter"] / (tot["sa"] + tot["sb"] - tot["inter"])
+    tot["jaccard_e6"] = np.floor(j * 1e6 + 0.5).astype(np.int64)
+    out = tot[j >= threshold][["doc_a", "doc_b", "jaccard_e6"]]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def simhash_fingerprints(sf_dir: str, hash_backend: str = "siphash") -> pd.DataFrame:
     """64-bit SimHash per document over token hashes — deterministic
     and fully vectorized per batch: all tokens hashed in one call,

@@ -180,6 +180,10 @@ QUERIES: dict[str, Callable] = {
     "quality_score": text.quality_score,
     "lang_id": text.lang_id,  # deterministic heuristic, SQL-replayed below
     "fingerprint_census": text.fingerprint_census,
+    # composite training-data prep: quality gate -> langid agreement
+    # -> exact dedup -> per-(source, lang) rollup, oracle-checked as
+    # one pipeline
+    "corpus_prep": text.corpus_prep,
     # --- dedup family ---
     "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
     "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.9),
@@ -190,6 +194,9 @@ QUERIES: dict[str, Callable] = {
     "minhash_lsh_verified": lambda sf: dedup.minhash_lsh_pairs(
         sf, threshold=0.9, max_bucket=10**9, est_margin=None
     ),
+    # distributed inverted-gram join; exact (no df-cut) so it shares
+    # the SQL all-pairs oracle — the char-n-gram member of the family
+    "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.7),
     "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only (SipHash backend)
     # md5 hash backend: bit-identical to the DuckDB replay below
     # (md5_number_upper == md5 digest's first 8 bytes little-endian)
@@ -264,6 +271,8 @@ _DRIVER_EXCLUDED = {
     "media_features",  # declared stub (media_wav/image_features are real)
     "cdc_apply_tokens",  # (cdc_apply_events: same engine, value-checked)
     "multiway_left_join_at_scale",  # (multiway_left_join: identical oracle)
+    "multiway_left_join_degraded",  # (multiway_left_join: same oracle, degraded path)
+    "bloom_semi_join",  # (broadcast_semi_join: at-scale twin, same semantics)
     "union_distinct_keys",  # (union_provenance covers D3/D4 union)
     "hopping_window",  # (tumbling_window + session_window cover windows)
     "heavy_hitters",  # rows-only; guarantee is property-tested in pytest
@@ -601,6 +610,65 @@ ORACLES: dict[str, str] = {
                                                  ORDER BY s DESC, plang ASC) = 1)
         SELECT d.doc_id, d.lang, b.plang AS pred_lang
         FROM documents d JOIN best b USING (doc_id)
+    """,
+    # Composite prep pipeline: same quality expressions as
+    # quality_score, same argmax replay as lang_id (generated from the
+    # SAME LangId.PROFILES), dedup = min doc_id per text, rollup.
+    "corpus_prep": f"""
+        WITH t AS (SELECT doc_id, text, lang, source,
+                          regexp_split_to_array(trim(text), '\\s+') AS toks
+                   FROM documents),
+             q AS (SELECT doc_id, text, lang, source,
+                          CAST(len(toks) AS BIGINT) AS n_tokens
+                   FROM t
+                   WHERE len(toks) >= 30
+                     AND FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / GREATEST(len(toks), 1)) * 1e6 + 0.5)
+                         <= 600000),
+             w AS (SELECT doc_id,
+                          unnest(list_distinct(regexp_split_to_array(
+                              trim(lower(text)), '\\s+'))) AS tok
+                   FROM q),
+             p(plang, tok) AS (VALUES {", ".join(
+                 f"('{lang}','{wd}')"
+                 for lang, words in sorted(text.LangId.PROFILES.items())
+                 for wd in sorted(words))}),
+             sc AS (SELECT w.doc_id, p.plang, COUNT(*) AS s
+                    FROM w JOIN p USING (tok) GROUP BY 1, 2),
+             grid AS (SELECT q.doc_id, l.plang, COALESCE(sc.s, 0) AS s
+                      FROM q
+                      CROSS JOIN (SELECT DISTINCT plang FROM p) l
+                      LEFT JOIN sc ON sc.doc_id = q.doc_id AND sc.plang = l.plang),
+             best AS (SELECT doc_id, plang FROM grid
+                      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY s DESC, plang ASC) = 1),
+             agreed AS (SELECT q.*, b.plang AS pred_lang
+                        FROM q JOIN best b USING (doc_id)
+                        WHERE b.plang = q.lang),
+             survivors AS (SELECT * FROM agreed
+                           QUALIFY row_number() OVER (PARTITION BY text
+                                                      ORDER BY doc_id) = 1)
+        SELECT source, pred_lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM survivors GROUP BY 1, 2
+    """,
+    "ngram_jaccard": """
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+          FROM documents,
+               LATERAL (SELECT unnest(range(1, greatest(length(text) - 1, 1))) AS i)
+          WHERE length(text) >= 3
+        ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+        co AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(FLOOR(1e6 * inter / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT)
+                   AS jaccard_e6
+        FROM co JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.7
     """,
     "jaccard_dupes": """
         WITH tok AS (SELECT doc_id,

@@ -128,6 +128,88 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def corpus_prep(
+    sf_dir: str,
+    min_tokens: int = 30,
+    max_dup_ratio_e6: int = 600_000,
+) -> pd.DataFrame:
+    """The composite training-data-prep pipeline, ONE streaming pass
+    per stage over `documents`:
+
+      1. quality gate (map_batches, vectorized): n_tokens >=
+         min_tokens AND duplicate-token ratio <= max_dup_ratio_e6 —
+         drops short and highly repetitive docs;
+      2. language ID (LangId actor pool) + metadata-agreement filter:
+         keep docs whose predicted language equals the declared one
+         (docs in languages without a profile never agree and drop
+         out, as a real pipeline drops unsupported languages);
+      3. exact dedup: SipHash bucket -> keep the min doc_id per
+         identical text (only survivors of 1-2 enter the shuffle);
+      4. per-(source, pred_lang) rollup: surviving docs + their total
+         token count.
+
+    Every stage is an operator that also exists standalone
+    (quality_score, lang_id, exact_dedup, grouped aggregates); this
+    entry demonstrates — and oracle-checks — their composition, which
+    is how a 100 TB corpus actually gets prepared. All thresholds are
+    fixed-point so the SQL replay is exact."""
+    from lakecdc.dedup import _hash_str_array
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].str.strip()
+        toks = s.str.split(r"\s+", regex=True)
+        n_tok = toks.str.len().fillna(0).astype("int64")
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        safe = np.maximum(n_tok, 1)
+        dup_e6 = np.floor((1.0 - n_distinct / safe) * 1e6 + 0.5).astype("int64")
+        batch = batch.assign(n_tokens=n_tok)
+        keep = (n_tok >= min_tokens) & (dup_e6 <= max_dup_ratio_e6)
+        return batch[keep.to_numpy()]
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+
+    class _LangGate(LangId):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            scored = super().__call__(batch[["doc_id", "lang", "text"]].copy())
+            # LangId scores 1:1 in order; re-attach by position
+            out = batch.reset_index(drop=True)
+            out["pred_lang"] = scored["pred_lang"].to_numpy()
+            return out[out["pred_lang"] == out["lang"]]
+
+    agreed = gated.map_batches(
+        _LangGate, batch_format="pandas", batch_size=512, concurrency=2
+    )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_str_array(batch["text"].to_numpy(dtype=object))
+        batch = batch.assign(bucket=(h % np.uint64(64)).astype("int64"))
+        return batch
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text", "doc_id"], kind="stable")
+        g = g.drop_duplicates("text", keep="first")
+        return g[["source", "pred_lang", "n_tokens"]]
+
+    survivors = (
+        agreed.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+    out = (
+        survivors.groupby(["source", "pred_lang"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+        )
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out.sort_values(["source", "pred_lang"]).reset_index(drop=True)
+
+
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer: whitens a polynomial hash so the
     winnowing minimum is uniform across grams (vectorized uint64,

@@ -336,3 +336,39 @@ def test_ann_index_state_is_sharded():
     assert len(l.buckets.cache) == 0
     l(q)
     assert 0 < len(l.buckets.cache) <= 2 * 4
+
+
+def test_ivf_streaming_build_is_sharded():
+    """The streaming IVF builder never returns corpus-scale driver
+    state: centroids + a dict of per-cell object-ref LISTS; total
+    refs cover the corpus, and probing through the cache fetches only
+    probed cells."""
+    from lakecdc import ann
+
+    cent, cells = ann.build_ivf_cells_streaming(SF_DIR)
+    assert all(isinstance(v, list) for v in cells.values())
+    ids, Vn = ann._matrix(SF_DIR)
+    assert cent.nbytes < Vn.nbytes / 4
+    # every vector landed in exactly one cell
+    import numpy as np
+    import ray
+
+    got = sorted(
+        int(i)
+        for refs in cells.values()
+        for part in ray.get(refs)
+        for i in part[0]
+    )
+    assert got == sorted(int(i) for i in ids)
+    idx = ann.IVFIndex(cent, cells, nprobe=2, k=3)
+    import pyarrow as pa
+
+    q = pa.table(
+        {
+            "vec_id": pa.array(ids[:1], type=pa.int64()),
+            "embedding": pa.array([list(map(float, Vn[0]))]),
+        }
+    )
+    out = idx(q)
+    assert out.num_rows > 0
+    assert 0 < len(idx.cells.cache) <= 2
