@@ -323,14 +323,19 @@ class LSHIndex:
         return _topk_table(out_q, out_n, out_s)
 
 
-def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+def ann_ivf(
+    sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int | None = None
+) -> pd.DataFrame:
     # Streaming build: the driver holds at most one batch + the cell
     # flush buffers — never the corpus matrix.
     cent, cells = build_ivf_cells_streaming(sf_dir)
+    kwargs = {"k": k}
+    if nprobe is not None:
+        kwargs["nprobe"] = nprobe
     out = _query_stream(sf_dir, n_queries).map_batches(
         IVFIndex,
         fn_constructor_args=(cent, cells),
-        fn_constructor_kwargs={"k": k},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=64,
         concurrency=2,
@@ -342,14 +347,29 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     )
 
 
-def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+def ann_ivf_verified(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """IVF machinery with EXHAUSTIVE probing (nprobe = every cell): the
+    union of all cells is the whole corpus, so the routing + per-cell
+    fetch + merge path produces exactly the brute-force top-k and the
+    query shares ann_topk's SQL oracle (driver value check of the
+    sharded-index plumbing — build, cell refs, cache, rank merge). The
+    approximate configuration of the same code is ``ann_ivf``."""
+    return ann_ivf(sf_dir, n_queries=n_queries, k=k, nprobe=1_000_000)
+
+
+def ann_lsh(
+    sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int | None = None
+) -> pd.DataFrame:
     ids, Vn = _matrix(sf_dir)
     planes, all_codes, buckets = build_lsh_buckets(ids, Vn)
     del Vn
+    kwargs = {"k": k}
+    if nprobe is not None:
+        kwargs["nprobe"] = nprobe
     out = _query_stream(sf_dir, n_queries).map_batches(
         LSHIndex,
         fn_constructor_args=(planes, all_codes, buckets),
-        fn_constructor_kwargs={"k": k},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=64,
         concurrency=2,
@@ -357,3 +377,11 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     return (
         out.to_pandas().sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
     )
+
+
+def ann_lsh_verified(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """LSH machinery with EXHAUSTIVE probing (every occupied bucket):
+    equals the brute-force top-k, sharing ann_topk's SQL oracle — the
+    driver value check of the bucketed-index plumbing. The approximate
+    configuration of the same code is ``ann_lsh``."""
+    return ann_lsh(sf_dir, n_queries=n_queries, k=k, nprobe=1_000_000)

@@ -424,6 +424,145 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over near-dup pairs -> canonical dedup
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: rd.Dataset, max_rounds: int = 16
+) -> pd.DataFrame:
+    """Distributed connected components over an edge Dataset (columns
+    ``a``/``b``, int64) via hash-to-min label propagation: each round
+    every node's group computes m = min(neighborhood ∪ self) and emits
+    (m -> every member) plus (every member -> m); a node's
+    neighborhood therefore contracts toward the component minimum in
+    O(log diameter) rounds. Each round is ONE ``groupby(node)``
+    shuffle of (node, member) int pairs — no joins, no driver-side
+    graph — so the plan holds when the pair set exceeds a single heap.
+    Intermediate size stays O(edges + nodes·log) and collapses to
+    (component-min, member) rows at the fixpoint, which is detected
+    with a distributed signature aggregate (row count + keyed sum),
+    not by materializing state on the driver.
+
+    Returns the component map as pandas (node, comp) — OUTPUT-scale
+    (near-dup nodes only), the same contract as the pair queries.
+    """
+
+    def init(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        # both directions + self loops: every node owns a group
+        node = np.concatenate([a, b, a, b])
+        member = np.concatenate([b, a, a, b])
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "member": pa.array(member, type=pa.int64()),
+            }
+        )
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        v = int(g["node"].iloc[0])
+        mem = np.unique(g["member"].to_numpy())
+        m = min(int(mem[0]), v)
+        # hash-to-min emit: the min learns every member; every member
+        # learns the min (and keeps itself so groups never vanish)
+        node = np.concatenate([np.full(len(mem), m, dtype=np.int64), mem])
+        member = np.concatenate([mem, np.full(len(mem), m, dtype=np.int64)])
+        return pd.DataFrame({"node": node, "member": member})
+
+    state = edges.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        state = state.groupby("node").map_groups(
+            step, batch_format="pandas"
+        ).materialize()
+        df_sig = state.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                    "s": pa.array(
+                        [
+                            int(
+                                (
+                                    t["node"].to_numpy() * 1_000_003
+                                    + t["member"].to_numpy()
+                                ).sum()
+                            )
+                        ],
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        sig = (int(df_sig["n"].sum()), int(df_sig["s"].sum()))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("connected_components did not converge")
+    comp = (
+        state.groupby("node").min("member").to_pandas()
+        .rename(columns={"node": "node", "min(member)": "comp"})
+    )
+    comp["comp"] = np.minimum(comp["comp"], comp["node"])
+    return comp.astype({"node": "int64", "comp": "int64"})
+
+
+def neardup_components(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """The end-to-end fuzzy-dedup pipeline: MinHash-LSH near-dup pairs
+    (exact configuration — uncapped buckets, no estimate prune, so the
+    pair set EQUALS the all-pairs token-Jaccard >= threshold set) ->
+    distributed connected components (hash-to-min groupby rounds) ->
+    canonical survivor per component (min doc_id). Output one row per
+    document: (doc_id, component_id, keep) with keep = 1 iff the doc
+    is its component's canonical representative (singletons keep
+    themselves). SQL oracle: recursive-CTE transitive closure over the
+    same exact pair set.
+
+    Scale shape: pairs and components are OUTPUT-scale (near-dup docs
+    only); the final labeling broadcasts the component map once
+    (ray.put) and streams `documents` through map_batches — the
+    full-corpus side never shuffles.
+    """
+    pairs = minhash_lsh_pairs(
+        sf_dir, threshold=threshold, max_bucket=10**9, est_margin=None
+    )
+    if len(pairs):
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(pairs["doc_a"].to_numpy(), type=pa.int64()),
+                    "b": pa.array(pairs["doc_b"].to_numpy(), type=pa.int64()),
+                }
+            )
+        )
+        comp = connected_components(edges)
+        comp_map = dict(zip(comp["node"].tolist(), comp["comp"].tolist()))
+    else:
+        comp_map = {}
+    ref = ray.put(comp_map)
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(ref)
+        ids = batch["doc_id"].to_numpy()
+        s = pd.Series(ids)
+        comp = s.map(cm).fillna(s).astype(np.int64).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "component_id": comp,
+                "keep": (comp == ids).astype(np.int64),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id"]).map_batches(
+        label, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash (rows-only)
 # ---------------------------------------------------------------------------
 

@@ -184,6 +184,9 @@ QUERIES: dict[str, Callable] = {
     # -> exact dedup -> per-(source, lang) rollup, oracle-checked as
     # one pipeline
     "corpus_prep": text.corpus_prep,
+    # GPT-style concat-and-chunk sequence packing via a distributed
+    # exclusive prefix sum (per-source doc_id order, 2048-token cuts)
+    "pack_sequences": text.pack_sequences,
     # --- dedup family ---
     "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
     "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.9),
@@ -197,6 +200,10 @@ QUERIES: dict[str, Callable] = {
     # distributed inverted-gram join; exact (no df-cut) so it shares
     # the SQL all-pairs oracle — the char-n-gram member of the family
     "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold=0.7),
+    # end-to-end fuzzy dedup: exact LSH pair set -> distributed
+    # connected components (hash-to-min) -> canonical survivor per
+    # component; oracle = recursive-CTE transitive closure
+    "neardup_components": dedup.neardup_components,
     "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only (SipHash backend)
     # md5 hash backend: bit-identical to the DuckDB replay below
     # (md5_number_upper == md5 digest's first 8 bytes little-endian)
@@ -214,6 +221,12 @@ QUERIES: dict[str, Callable] = {
     "ann_topk": ann.ann_topk,
     "ann_ivf": ann.ann_ivf,  # approximate: rows-only
     "ann_lsh": ann.ann_lsh,  # approximate: rows-only
+    # exhaustive-probe configurations of the SAME index machinery:
+    # union of all cells/buckets == corpus, so output == brute force
+    # and both share ann_topk's SQL oracle (value-checks the sharded
+    # index build / cell-ref fetch / rank-merge plumbing)
+    "ann_ivf_verified": ann.ann_ivf_verified,
+    "ann_lsh_verified": ann.ann_lsh_verified,
     "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
@@ -258,8 +271,8 @@ _DRIVER_ORDER_HEAD = [
     "winnowing_fingerprints",
     "media_wav_features",
     "media_image_features",
-    "ann_ivf",
-    "ann_lsh",
+    "ann_ivf_verified",
+    "ann_lsh_verified",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -277,6 +290,13 @@ _DRIVER_EXCLUDED = {
     "hopping_window",  # (tumbling_window + session_window cover windows)
     "heavy_hitters",  # rows-only; guarantee is property-tested in pytest
     "cdc_changelog_stats",  # (cdc_lineage_rollup + grouped-agg family)
+    "ann_ivf",  # (ann_ivf_verified: same code, exhaustive probe, value-checked;
+    #  the approximate configuration's recall is asserted in pytest)
+    "ann_lsh",  # (ann_lsh_verified: same rationale)
+    "fingerprint_census",  # (dup_key_census covers A7; exact_dedup covers the
+    #  md5(text) fingerprint grouping — kept pytest-checked)
+    "quality_score",  # (corpus_prep value-checks the identical quality
+    #  expressions inside the composite pipeline)
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
@@ -652,6 +672,26 @@ ORACLES: dict[str, str] = {
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM survivors GROUP BY 1, 2
     """,
+    # Window-function replay of the distributed prefix-sum packing:
+    # cum_before = per-source running token total excluding the
+    # current doc, cuts every 2048 tokens.
+    "pack_sequences": """
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                          COALESCE(SUM(n_tokens) OVER (
+                              PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), 0) AS cb
+                   FROM t)
+        SELECT doc_id, source, n_tokens,
+               cb // 2048 AS seq_first,
+               (cb + GREATEST(n_tokens, 1) - 1) // 2048 AS seq_last,
+               cb % 2048 AS seq_offset
+        FROM c
+    """,
     "ngram_jaccard": """
         WITH grams AS (
           SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
@@ -682,6 +722,37 @@ ORACLES: dict[str, str] = {
                CAST(FLOOR(CAST(i AS DOUBLE)/(sa.sz+sb.sz-i)*1e6 + 0.5) AS BIGINT) AS jaccard_e6
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) >= 0.9
+    """,
+    # Connected components over the exact near-dup pair set (the same
+    # pair CTE as jaccard_dupes at 0.9), via recursive transitive
+    # closure + min reachable id; docs in no pair are their own
+    # singleton component.
+    "neardup_components": """
+        WITH RECURSIVE
+             tok AS (SELECT doc_id,
+                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                     FROM documents),
+             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                       FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             pairs AS (SELECT doc_a, doc_b
+                       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                                  JOIN sizes sb ON doc_b = sb.doc_id
+                       WHERE CAST(i AS DOUBLE)/(sa.sz+sb.sz-i) >= 0.9),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             reach(n, m) AS (
+                 SELECT a, b FROM edges
+                 UNION
+                 SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+             comp AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS c
+                      FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               COALESCE(c.c, d.doc_id) AS component_id,
+               CAST(CASE WHEN COALESCE(c.c, d.doc_id) = d.doc_id
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
     # same oracle as jaccard_dupes: see the QUERIES note — the
     # unpruned LSH path is exactly-equal to the all-pairs exact query
@@ -945,3 +1016,8 @@ ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) <= 5
     """,
 }
+
+# Exhaustive probing makes the IVF/LSH index paths exactly equal to
+# brute force — they share ann_topk's oracle verbatim.
+ORACLES["ann_ivf_verified"] = ORACLES["ann_topk"]
+ORACLES["ann_lsh_verified"] = ORACLES["ann_topk"]

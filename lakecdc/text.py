@@ -318,3 +318,100 @@ def fingerprint_census(sf_dir: str) -> pd.DataFrame:
     for c in ["n_docs", "n_distinct_fp"]:
         df[c] = df[c].astype("int64")
     return df
+
+
+def pack_sequences(
+    sf_dir: str, seq_len: int = 2048, bucket_width: int = 4096
+) -> pd.DataFrame:
+    """Pack the corpus's token stream into fixed-length training
+    sequences (GPT-style concat-and-chunk): within each source, docs
+    are concatenated in doc_id order and the stream is cut every
+    ``seq_len`` tokens; a doc landing across a cut spans multiple
+    sequences. Output one row per doc: (doc_id, source, n_tokens,
+    seq_first, seq_last, seq_offset) — seq_offset is the doc's start
+    position inside seq_first.
+
+    Ray shape — DISTRIBUTED EXCLUSIVE PREFIX SUM, no global sort and
+    no driver-side corpus pass:
+      phase 1: map_batches tokenizes once into a columnar intermediate
+          (doc_id, source, id-range bucket, n_tokens) — materialized
+          and reused by both phases so text is read and split exactly
+          once; groupby((source, bucket)).sum() yields the partials
+          table (one row per occupied bucket — metadata-scale).
+      driver: orders partials per source, takes the exclusive running
+          total -> token offset of each bucket's first doc; broadcast
+          once via ray.put.
+      phase 2: groupby((source, bucket)).map_groups sorts the <=
+          bucket_width docs of one bucket by doc_id, local cumsum +
+          bucket offset, and derives the sequence span arithmetically.
+          Group size is bounded by bucket_width, so there is no
+          straggler group regardless of corpus size.
+
+    The reference's analogue is its deterministic combine-and-emit
+    layout pass (scripts/combine_csv.py); the packing rule itself is
+    the standard LLM pretraining concat-and-chunk.
+    """
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().str.strip()
+        n = s.str.split(r"\s+", regex=True).str.len().fillna(0).astype("int64")
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "bucket": pa.array(
+                    (ids // bucket_width).astype(np.int64), type=pa.int64()
+                ),
+                "n_tokens": pa.array(n.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    partials = (
+        feats.groupby(["source", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+    )
+    partials["offset"] = (
+        partials.groupby("source")["bucket_tokens"].cumsum()
+        - partials["bucket_tokens"]
+    )
+    off_map = {
+        (s, int(b)): int(o)
+        for s, b, o in zip(
+            partials["source"], partials["bucket"], partials["offset"]
+        )
+    }
+    ref = ray.put(off_map)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        off = ray.get(ref)[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
+        n = g["n_tokens"].to_numpy()
+        cum_before = off + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "n_tokens": n,
+                "seq_first": cum_before // seq_len,
+                "seq_last": (cum_before + np.maximum(n, 1) - 1) // seq_len,
+                "seq_offset": cum_before % seq_len,
+            }
+        )
+
+    out = feats.groupby(["source", "bucket"]).map_groups(
+        pack, batch_format="pandas"
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df.astype(
+        {
+            c: "int64"
+            for c in ["doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset"]
+        }
+    )

@@ -372,3 +372,59 @@ def test_ivf_streaming_build_is_sharded():
     out = idx(q)
     assert out.num_rows > 0
     assert 0 < len(idx.cells.cache) <= 2
+
+
+def test_connected_components_graph_shapes():
+    """hash-to-min CC on adversarial shapes: a long chain (worst-case
+    diameter for plain min propagation), a clique, two triangles
+    bridged by one edge, and disjoint pairs — against a union-find
+    reference."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lakecdc.dedup import connected_components
+
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 140)]  # 41-node chain
+    edges += [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]  # K6
+    edges += [(300, 301), (301, 302), (302, 300), (303, 304), (304, 305),
+              (305, 303), (302, 303)]  # bridged triangles
+    edges += [(400, 401), (402, 403)]  # disjoint pairs
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"a": a, "b": b}))
+    got = connected_components(ds)
+    got_map = dict(zip(got["node"], got["comp"]))
+    assert got_map == want
+
+
+def test_ann_verified_twins_equal_brute_force():
+    """Exhaustive probing of the IVF and LSH index machinery must
+    reproduce the exact brute-force top-k bit for bit."""
+    import pandas as pd
+
+    from lakecdc import ann
+
+    base = ann.ann_topk(SF_DIR)
+    for fn in (ann.ann_ivf_verified, ann.ann_lsh_verified):
+        got = fn(SF_DIR)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), base.reset_index(drop=True)
+        )
