@@ -428,24 +428,28 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: rd.Dataset, max_rounds: int = 16
+    edges: rd.Dataset, max_rounds: int = 16, num_buckets: int = 32
 ) -> pd.DataFrame:
     """Distributed connected components over an edge Dataset (columns
     ``a``/``b``, int64) via hash-to-min label propagation: each round
-    every node's group computes m = min(neighborhood ∪ self) and emits
+    every node computes m = min(neighborhood ∪ self) and emits
     (m -> every member) plus (every member -> m); a node's
     neighborhood therefore contracts toward the component minimum in
-    O(log diameter) rounds. Each round is ONE ``groupby(node)``
-    shuffle of (node, member) int pairs — no joins, no driver-side
-    graph — so the plan holds when the pair set exceeds a single heap.
-    Intermediate size stays O(edges + nodes·log) and collapses to
-    (component-min, member) rows at the fixpoint, which is detected
-    with a distributed signature aggregate (row count + keyed sum),
-    not by materializing state on the driver.
+    O(log diameter) rounds. Each round is ONE shuffle of
+    (node, member) int pairs grouped by a FIXED hash bucket of the
+    node (the minhash fixed-partition pattern) — all per-node mins
+    inside a bucket are computed with one vectorized pandas groupby,
+    so per-round Python-call count is O(num_buckets), not O(nodes),
+    and no driver-side graph exists anywhere. The fixpoint is
+    detected with a distributed signature aggregate (row count +
+    keyed sum), not by materializing state on the driver — sound
+    because min labels propagate only through emitted min values:
+    a round that changes no row changes nothing ever after.
 
     Returns the component map as pandas (node, comp) — OUTPUT-scale
     (near-dup nodes only), the same contract as the pair queries.
     """
+    assert num_buckets & (num_buckets - 1) == 0, "num_buckets must be 2^k"
 
     def init(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
@@ -460,21 +464,39 @@ def connected_components(
             }
         )
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.cast(pc.bit_wise_and(t["node"], num_buckets - 1), pa.int64())
+        return t.append_column("bucket", b)
+
     def step(g: pd.DataFrame) -> pd.DataFrame:
-        v = int(g["node"].iloc[0])
-        mem = np.unique(g["member"].to_numpy())
-        m = min(int(mem[0]), v)
-        # hash-to-min emit: the min learns every member; every member
-        # learns the min (and keeps itself so groups never vanish)
-        node = np.concatenate([np.full(len(mem), m, dtype=np.int64), mem])
-        member = np.concatenate([mem, np.full(len(mem), m, dtype=np.int64)])
-        return pd.DataFrame({"node": node, "member": member})
+        # every row of a node lands in one bucket, so the in-bucket
+        # dedupe is a global per-(node, member) dedupe
+        g = g.drop_duplicates(["node", "member"])
+        node = g["node"].to_numpy()
+        mem = g["member"].to_numpy()
+        # m(v) = min(neighborhood ∪ self), vectorized across all
+        # nodes of the bucket
+        m = np.minimum(
+            g.groupby("node")["member"].transform("min").to_numpy(), node
+        )
+        # hash-to-min emit per deduped row (v, u): the min learns u;
+        # u learns the min
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([m, mem]),
+                "member": np.concatenate([mem, m]),
+            }
+        ).drop_duplicates()
 
     state = edges.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
     prev_sig = None
     for _ in range(max_rounds):
-        state = state.groupby("node").map_groups(
-            step, batch_format="pandas"
+        state = (
+            state.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(step, batch_format="pandas")
         ).materialize()
         df_sig = state.map_batches(
             lambda t: pa.table(
