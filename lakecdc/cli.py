@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
         "lookup", "changelog", "refresh-view", "diff", "index",
-        "search-token", "relay",
+        "search-token", "relay", "dupindex", "neardup",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -103,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
                            dest="token_buckets")
         if name == "search-token":
             s.add_argument("--token", type=int, required=True)
+            s.add_argument("--as-of", type=int, default=None, dest="as_of")
+        if name in ("dupindex", "neardup"):
+            s.add_argument("--band-buckets", type=int, default=None,
+                           dest="band_buckets")
+        if name == "neardup":
+            s.add_argument(
+                "--tokens", default=None,
+                help="comma-separated query token ints: candidate lookup; "
+                "omit to list all live near-dup candidate pairs",
+            )
             s.add_argument("--as-of", type=int, default=None, dest="as_of")
         if name == "apply":
             s.add_argument(
@@ -347,6 +357,48 @@ def main(argv: list[str] | None = None) -> int:
                 up_to_epoch=args.as_of,
             )
             print(json.dumps({"token": args.token, "n_docs": len(docs), "doc_ids": docs}))
+        elif args.cmd == "dupindex":
+            from lakecdc.dupindex import DEFAULT_BAND_BUCKETS, build_dupindex
+
+            bb = args.band_buckets or DEFAULT_BAND_BUCKETS
+            n = build_dupindex(cfg, band_buckets=bb)
+            print(json.dumps({"band_rows_written": int(n)}))
+        elif args.cmd == "neardup":
+            from lakecdc.dupindex import (
+                DEFAULT_BAND_BUCKETS,
+                live_pairs,
+                lookup_neardup,
+            )
+
+            bb = args.band_buckets or DEFAULT_BAND_BUCKETS
+            if args.tokens:
+                toks = [int(x) for x in args.tokens.split(",") if x.strip()]
+                cand = lookup_neardup(
+                    cfg, toks, band_buckets=bb, up_to_epoch=args.as_of
+                )
+                print(
+                    json.dumps(
+                        {
+                            "candidates": [
+                                {"doc_id": d, "n_bands": int(n)}
+                                for d, n in zip(cand["doc_id"], cand["n_bands"])
+                            ]
+                        }
+                    )
+                )
+            else:
+                pairs = live_pairs(cfg, band_buckets=bb, up_to_epoch=args.as_of)
+                print(
+                    json.dumps(
+                        {
+                            "n_pairs": int(len(pairs)),
+                            "pairs": [
+                                [a, b]
+                                for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+                            ][:100],
+                        }
+                    )
+                )
         elif args.cmd == "verify":
             from lakecdc import oracle
             from lakecdc.lake import read_lake_local

@@ -245,6 +245,41 @@ def token_index_from_events(sf_dir: str, work_root: str | None = None) -> pd.Dat
     return out.astype({"token": "int64", "n_docs": "int64", "doc_id_sum": "int64"})
 
 
+def neardup_index_pairs_from_events(
+    sf_dir: str, work_root: str | None = None
+) -> pd.DataFrame:
+    """Driver-oracle-checkable INCREMENTAL NEAR-DUP INDEX: run the
+    engine on the events-derived WAL, maintain the MinHash-LSH band
+    index epoch-by-epoch (lakecdc.dupindex — partition-aligned deltas
+    with retractions, never a full rebuild), and emit every candidate
+    near-dup pair among live docs. The SQL oracle recomputes each live
+    winner's MinHash signature from the closed-form token formula with
+    the SAME closed-form hash parameters (a_i = 2654435761*(i+1) mod
+    2^31-1, b_i = 97+31i; bands pack r=2 rows as s_hi*(2^31-1)+s_lo)
+    and joins docs sharing any band key — so every band key the
+    incremental fold produces is value-checked, not just pair counts."""
+    from lakecdc.dupindex import build_dupindex, live_pairs
+
+    import numpy as np
+
+    cfg = _write_events_wal(sf_dir, work_root, "dupindex")
+    apply_all(cfg)
+    build_dupindex(cfg, band_buckets=16)
+    out = live_pairs(cfg, band_buckets=16)
+    # doc ids here are numeric strings: re-canonicalize pair order by
+    # integer value to match the SQL oracle's LEAST/GREATEST
+    a = out["doc_a"].astype("int64").to_numpy()
+    b = out["doc_b"].astype("int64").to_numpy()
+    return (
+        pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        )
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 def run_flagship(
     sf_dir: str, work_root: str | None = None, fresh: bool = True
 ) -> pd.DataFrame:

@@ -22,6 +22,7 @@ from lakecdc import (
 )
 from lakecdc.flagship import (
     lineage_rollup_from_events,
+    neardup_index_pairs_from_events,
     run_flagship,
     run_flagship_from_events,
     snapshot_diff_from_events,
@@ -244,6 +245,10 @@ QUERIES: dict[str, Callable] = {
     "token_index_lookup": token_index_from_events,
     # engine + lineage metrics: per-epoch manifest rollup, SQL-replayed
     "cdc_lineage_rollup": lineage_rollup_from_events,
+    # engine + incremental MinHash-LSH near-dup index: every band key
+    # the per-epoch delta maintenance produces, value-checked via a
+    # closed-form MinHash replay in SQL
+    "neardup_index_pairs": neardup_index_pairs_from_events,
 }
 
 
@@ -273,6 +278,9 @@ _DRIVER_ORDER_HEAD = [
     "media_image_features",
     "ann_ivf_verified",
     "ann_lsh_verified",
+    # round-3 addition: the CDC-maintained near-dup index (engine x
+    # dedup crossover), value-checked via closed-form MinHash SQL
+    "neardup_index_pairs",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -297,6 +305,8 @@ _DRIVER_EXCLUDED = {
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
     #  expressions inside the composite pipeline)
+    "token_count",  # (corpus_prep's quality gate + rollup value-check the
+    #  same whitespace token counting inside the composite pipeline)
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
@@ -1002,6 +1012,48 @@ ORACLES: dict[str, str] = {
         SELECT p.epoch, p.rows_upserted, p.rows_deleted,
                CAST(0 AS BIGINT) AS rows_invalid, r.lsn_hi
         FROM per p JOIN rng r USING (epoch)
+    """,
+    # SQL replay of the incremental MinHash-LSH near-dup index
+    # (neardup_index_pairs_from_events): live LWW winners' token sets
+    # from the closed-form formula, MinHash with the SAME closed-form
+    # universal-hash parameters as lakecdc.dupindex (P = 2^31-1,
+    # a_i = 2654435761*(i+1) mod P, b_i = 97+31i), bands of r=2 rows
+    # packed losslessly as s_hi*P + s_lo, pairs = docs sharing any
+    # (band, bkey). Every arithmetic step fits BIGINT (products < 2^62).
+    "neardup_index_pairs": """
+        WITH e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete
+                   FROM events),
+             live AS (SELECT * FROM e
+                      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY lsn DESC) = 1
+                              AND NOT is_delete),
+             post AS (SELECT DISTINCT doc_id,
+                             (lsn * 31 + i * 7) % 1000 AS token
+                      FROM (SELECT doc_id, lsn,
+                                   unnest(generate_series(0, lsn % 17)) AS i
+                            FROM live)),
+             params AS (SELECT i,
+                               (2654435761 * (i + 1)) % 2147483647 AS a,
+                               (97 + 31 * i) % 2147483647 AS b
+                        FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+             sig AS (SELECT doc_id, p.i,
+                            MIN((p.a * token + p.b) % 2147483647) AS s
+                     FROM post CROSS JOIN params p GROUP BY 1, 2),
+             band AS (SELECT doc_id, i // 2 AS band,
+                             SUM(CASE WHEN i % 2 = 0
+                                      THEN s * 2147483647 ELSE s END) AS bkey
+                      FROM sig GROUP BY 1, 2),
+             pairs AS (SELECT DISTINCT
+                              LEAST(CAST(x.doc_id AS BIGINT),
+                                    CAST(y.doc_id AS BIGINT)) AS doc_a,
+                              GREATEST(CAST(x.doc_id AS BIGINT),
+                                       CAST(y.doc_id AS BIGINT)) AS doc_b
+                       FROM band x JOIN band y
+                         ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b FROM pairs
     """,
     "ann_topk": """
         WITH sims AS (

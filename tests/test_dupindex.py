@@ -1,0 +1,269 @@
+"""Incremental MinHash-LSH near-dup index (lakecdc.dupindex): the
+per-epoch delta maintenance must agree EXACTLY with a from-scratch
+signature recompute over the live lake at every epoch (including
+retractions from updates and deletes), lookups must be point reads of
+the probed band buckets, and the closed-form hash parameters must make
+the whole structure replayable (driver oracle neardup_index_pairs)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakecdc.apply import apply_all
+from lakecdc.config import EngineConfig
+from lakecdc.dupindex import (
+    band_keys,
+    build_dupindex,
+    dupindex_dir,
+    live_pairs,
+    lookup_neardup,
+    signatures,
+    update_dupindex,
+)
+from lakecdc.index import complete_epochs
+from lakecdc.lake import read_lake_local
+from lakecdc.synth import write_wal
+
+BB = 8
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dup_lake"))
+    cfg = EngineConfig(root=root, num_buckets=8)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir,
+        n_docs=200,
+        n_epochs=3,
+        events_per_epoch=800,
+        seed=31,
+        evolution_epoch=1,
+        zipf_a=1.2,
+    )
+    apply_all(cfg)
+    n = build_dupindex(cfg, band_buckets=BB)
+    assert n > 0
+    return cfg
+
+
+def _brute_bands(cfg, up_to_epoch=None) -> pd.DataFrame:
+    """From-scratch recompute: live docs' (doc_id, band, bkey) straight
+    from the lake — the ground truth the incremental fold must equal."""
+    lake = read_lake_local(cfg, up_to_epoch=up_to_epoch)
+    toks = np.array(
+        [np.asarray(t) if t is not None else np.array([]) for t in lake["tokens"]],
+        dtype=object,
+    )
+    mask, sig = signatures(toks)
+    if not mask.any():
+        return pd.DataFrame({"doc_id": [], "band": [], "bkey": []})
+    bk = band_keys(sig)
+    docs = lake["doc_id"].to_numpy(dtype=object)[mask]
+    n_bands = bk.shape[1]
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(docs, n_bands),
+            "band": np.tile(np.arange(n_bands), len(docs)),
+            "bkey": bk.ravel(),
+        }
+    )
+
+
+def _brute_pairs(cfg, up_to_epoch=None) -> set[tuple[str, str]]:
+    b = _brute_bands(cfg, up_to_epoch)
+    out: set[tuple[str, str]] = set()
+    for _, g in b.groupby(["band", "bkey"]):
+        docs = sorted(g["doc_id"])
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                out.add((docs[i], docs[j]))
+    return out
+
+
+def _folded_live_bands(cfg, up_to_epoch=None) -> pd.DataFrame:
+    """Fold every bucket chain to its live band rows (the index's view
+    of the world)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakecdc.dupindex import _bucket_files, _fold_live
+
+    frames = []
+    for bb in range(BB):
+        files = _bucket_files(cfg, bb, up_to_epoch)
+        if not files:
+            continue
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        frames.append(_fold_live(t.to_pandas()))
+    if not frames:
+        return pd.DataFrame({"doc_id": [], "band": [], "bkey": []})
+    return pd.concat(frames, ignore_index=True)[["doc_id", "band", "bkey"]]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.astype({"band": "int64", "bkey": "int64"})
+        .sort_values(["doc_id", "band", "bkey"])
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_fold_equals_batch_recompute(lake):
+    """The LWW-folded index state equals a from-scratch signature
+    recompute of the live lake — retractions and all."""
+    pd.testing.assert_frame_equal(
+        _norm(_folded_live_bands(lake)), _norm(_brute_bands(lake))
+    )
+
+
+def test_incremental_fold_time_travel(lake):
+    for e in complete_epochs(lake):
+        pd.testing.assert_frame_equal(
+            _norm(_folded_live_bands(lake, up_to_epoch=e)),
+            _norm(_brute_bands(lake, up_to_epoch=e)),
+        )
+
+
+def test_live_pairs_equal_brute(lake):
+    got = live_pairs(lake, band_buckets=BB)
+    assert set(zip(got["doc_a"], got["doc_b"])) == _brute_pairs(lake)
+
+
+def test_lookup_neardup_self_and_brute(lake):
+    """A live doc's own token set must hit itself on EVERY band; other
+    hits equal the brute band-match set."""
+    lake_df = read_lake_local(lake)
+    brute = _brute_bands(lake)
+    by_doc = brute.set_index("doc_id")
+    for _, row in lake_df.head(8).iterrows():
+        if row["tokens"] is None or not len(row["tokens"]):
+            continue
+        got = lookup_neardup(lake, list(row["tokens"]), band_buckets=BB)
+        got_map = dict(zip(got["doc_id"], got["n_bands"]))
+        mine = by_doc.loc[[row["doc_id"]]]
+        assert got_map.get(row["doc_id"]) == len(mine)  # all bands self-hit
+        # every reported candidate shares exactly its brute band count
+        q = brute.merge(
+            mine[["band", "bkey"]], on=["band", "bkey"], how="inner"
+        )
+        want = q.groupby("doc_id").size().to_dict()
+        assert got_map == want
+
+
+def test_update_dupindex_idempotent(lake):
+    before = {
+        f: open(f, "rb").read()
+        for f in glob.glob(
+            os.path.join(dupindex_dir(lake), "**", "*.parquet"), recursive=True
+        )
+    }
+    update_dupindex(lake, 1, band_buckets=BB)
+    for f, blob in before.items():
+        if "epoch=000000001" in f:
+            assert open(f, "rb").read() == blob
+
+
+def _seg_v1(cfg, epoch, rows):
+    """rows: (lsn, op, doc_id, tokens|None, source|None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    d = os.path.join(cfg.wal_dir, f"epoch={epoch:09d}")
+    os.makedirs(d, exist_ok=True)
+    toks = [r[3] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows]),
+                "doc_id": pa.array([r[2] for r in rows]),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [None if t is None else len(t) for t in toks], pa.int32()
+                ),
+                "source": pa.array([r[4] for r in rows]),
+            },
+            schema=WAL_SCHEMA_V1,
+        ),
+        os.path.join(d, "seg-000.parquet"),
+    )
+
+
+def test_update_retracts_and_delete_removes(tmp_path):
+    """Two identical docs pair; an update that changes one to disjoint
+    tokens retracts the pair; a delete removes the doc entirely."""
+    cfg = EngineConfig(root=str(tmp_path / "rr"), num_buckets=4)
+    cfg.ensure_dirs()
+    _seg_v1(cfg, 0, [
+        (1, "insert", "1", [5, 6, 7], "s"),
+        (2, "insert", "2", [5, 6, 7], "s"),   # identical -> all bands match
+        (3, "insert", "3", [5, 6, 7], "s"),
+    ])
+    apply_all(cfg)
+    build_dupindex(cfg, band_buckets=4)
+    p0 = set(map(tuple, live_pairs(cfg, band_buckets=4).to_numpy()))
+    assert p0 == {("1", "2"), ("1", "3"), ("2", "3")}
+    # epoch 1: doc 2 updated to disjoint tokens, doc 3 deleted
+    _seg_v1(cfg, 1, [
+        (4, "update", "2", [900, 901, 902], "s"),
+        (5, "delete", "3", None, None),
+    ])
+    apply_all(cfg)
+    update_dupindex(cfg, 1, band_buckets=4)
+    p1 = set(map(tuple, live_pairs(cfg, band_buckets=4).to_numpy()))
+    assert p1 == set()
+    # lookup with doc 1's tokens: only doc 1 remains a candidate
+    got = lookup_neardup(cfg, [5, 6, 7], band_buckets=4)
+    assert list(got["doc_id"]) == ["1"]
+    # time travel still sees the original pair set
+    pe0 = set(map(tuple, live_pairs(cfg, band_buckets=4, up_to_epoch=0).to_numpy()))
+    assert pe0 == p0
+
+
+def test_dupindex_partial_engine_fenced_tokens(tmp_path):
+    """Partial engine: a post-delete patch resurrects a doc with
+    delete-fenced tokens (empty set) — it must vanish from the index;
+    a token patch re-signatures the doc."""
+    cfg = EngineConfig(
+        root=str(tmp_path / "pp"), num_buckets=4, merge_engine="partial"
+    )
+    cfg.ensure_dirs()
+    _seg_v1(cfg, 0, [
+        (1, "insert", "a", [1, 2, 3], "s"),
+        (2, "insert", "b", [1, 2, 3], "s"),
+    ])
+    _seg_v1(cfg, 1, [
+        (3, "delete", "b", None, None),
+        (4, "patch", "b", None, "s1"),        # resurrected, tokens fenced
+    ])
+    apply_all(cfg)
+    build_dupindex(cfg, band_buckets=4)
+    pairs = live_pairs(cfg, band_buckets=4)
+    assert not len(pairs)                      # b has no signature now
+    got = lookup_neardup(cfg, [1, 2, 3], band_buckets=4)
+    assert list(got["doc_id"]) == ["a"]
+
+
+def test_signatures_closed_form_matches_sql_formula():
+    """The numpy kernel equals a literal Python transcription of the
+    SQL oracle's arithmetic (same params, same mod) on a few sets."""
+    P = 2147483647
+    sets = [[0, 7, 999], [123], list(range(50))]
+    mask, sig = signatures(np.array([np.array(s) for s in sets], dtype=object))
+    assert mask.all()
+    for r, toks in enumerate(sets):
+        for i in range(sig.shape[1]):
+            a = (2654435761 * (i + 1)) % P
+            b = (97 + 31 * i) % P
+            want = min((a * t + b) % P for t in toks)
+            assert sig[r, i] == want
+    bk = band_keys(sig)
+    assert bk[0, 0] == sig[0, 0] * P + sig[0, 1]
