@@ -379,6 +379,119 @@ def lookup_neardup(
     return out
 
 
+def gate_epoch(
+    cfg: EngineConfig,
+    epoch: int,
+    band_buckets: int = DEFAULT_BAND_BUCKETS,
+    up_to_epoch: int | None = None,
+) -> pd.DataFrame:
+    """Ingest-time near-dup GATE: which docs arriving in WAL ``epoch``
+    would near-duplicate an EXISTING live doc — answered from the
+    index state as of ``up_to_epoch`` (default ``epoch - 1``) BEFORE
+    the epoch is applied. This is the dedup-at-ingest stage of a
+    training-data pipeline (drop/flag near-dups as they arrive instead
+    of re-sweeping the corpus), priced at delta scale:
+
+      1. stream the epoch's events; batch-local LWW combine
+         (merge.compact_events) so at most one row per doc per batch
+         survives;
+      2. ONE delta-scale shuffle by ``hash(doc_id)`` folds global
+         winners per incoming doc (drop deletes / token-less docs) and
+         emits their band rows;
+      3. ONE delta-scale shuffle by band bucket matches each band row
+         against that bucket's folded chain — the LAKE-scale side is
+         never shuffled, each group point-reads only its own bucket's
+         chain files.
+
+    Returns (doc_id, matched_doc, n_bands): incoming doc, existing
+    live doc sharing >= 1 band, and how many bands agree (monotone in
+    estimated Jaccard). Self-matches (an update arriving for a doc
+    already live) are excluded."""
+    from lakecdc import wal
+    from lakecdc.merge import compact_events
+    from lakecdc.shuffle import bucket_of
+
+    if up_to_epoch is None:
+        up_to_epoch = epoch - 1
+    root = dupindex_dir(cfg)
+    ds = wal.read_segment(cfg, epoch)
+
+    def combine(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = [c for c in ("lsn", "op", "doc_id", "tokens") if c in t.column_names]
+        t = t.select(keep)
+        # malformed events (null key/lsn) can't gate — the apply path
+        # counts them into lineage; here they are simply not candidates
+        t = t.filter(
+            pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["lsn"]))
+        )
+        t = compact_events(t)
+        db = bucket_of(t["doc_id"], band_buckets)
+        return t.append_column("db", pa.array(db.astype(np.int64)))
+
+    def winners_to_bands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("lsn", kind="stable")
+        last = g.groupby("doc_id", sort=False).tail(1)
+        live = last[last["op"] != "delete"]
+        rows = _band_rows(
+            live["doc_id"].to_numpy(dtype=object),
+            live["lsn"].to_numpy(dtype=np.int64),
+            live["tokens"].to_numpy(),
+        )
+        rows["bb"] = (rows["bkey"] + rows["band"]) % band_buckets
+        return rows[["doc_id", "band", "bkey", "bb"]]
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        bb = int(g["bb"].iloc[0])
+        files = _bucket_files(cfg, bb, up_to_epoch)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="object"),
+                "matched_doc": pd.Series(dtype="object"),
+                "band": pd.Series(dtype="int64"),
+            }
+        )
+        if not files:
+            return out
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        live = _fold_live(t.to_pandas())
+        if not len(live):
+            return out
+        hit = g.merge(
+            live[["band", "bkey", "doc_id"]].rename(
+                columns={"doc_id": "matched_doc"}
+            ),
+            on=["band", "bkey"],
+            how="inner",
+        )
+        hit = hit[hit["doc_id"] != hit["matched_doc"]]
+        return hit[["doc_id", "matched_doc", "band"]].astype({"band": "int64"})
+
+    hits = (
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(winners_to_bands, batch_format="pandas")
+        .groupby("bb")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_id" not in hits.columns or not len(hits):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="object"),
+                "matched_doc": pd.Series(dtype="object"),
+                "n_bands": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        hits.groupby(["doc_id", "matched_doc"], sort=True)
+        .size()
+        .reset_index(name="n_bands")
+    )
+    return out
+
+
 def live_pairs(
     cfg: EngineConfig,
     band_buckets: int = DEFAULT_BAND_BUCKETS,

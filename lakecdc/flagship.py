@@ -280,6 +280,29 @@ def neardup_index_pairs_from_events(
     )
 
 
+def neardup_gate_from_events(
+    sf_dir: str, work_root: str | None = None
+) -> pd.DataFrame:
+    """Oracle-checkable INGEST-TIME NEAR-DUP GATE: apply the
+    events-derived WAL only through epoch 2, index it, then gate the
+    still-unapplied epoch 3 — which arriving docs near-dup an existing
+    live doc, answered from the pre-apply index state
+    (lakecdc.dupindex.gate_epoch). The SQL oracle recomputes both
+    sides' band keys with the same closed-form MinHash and joins:
+    existing = LWW winners over epochs <= 2, incoming = winners within
+    epoch 3 only."""
+    from lakecdc.dupindex import build_dupindex, gate_epoch
+
+    cfg = _write_events_wal(sf_dir, work_root, "dupgate")
+    apply_all(cfg, max_epoch=2)
+    build_dupindex(cfg, band_buckets=16)
+    out = gate_epoch(cfg, 3, band_buckets=16)
+    out = out.astype(
+        {"doc_id": "int64", "matched_doc": "int64", "n_bands": "int64"}
+    )
+    return out.sort_values(["doc_id", "matched_doc"]).reset_index(drop=True)
+
+
 def run_flagship(
     sf_dir: str, work_root: str | None = None, fresh: bool = True
 ) -> pd.DataFrame:

@@ -22,6 +22,7 @@ from lakecdc import (
 )
 from lakecdc.flagship import (
     lineage_rollup_from_events,
+    neardup_gate_from_events,
     neardup_index_pairs_from_events,
     run_flagship,
     run_flagship_from_events,
@@ -249,6 +250,9 @@ QUERIES: dict[str, Callable] = {
     # the per-epoch delta maintenance produces, value-checked via a
     # closed-form MinHash replay in SQL
     "neardup_index_pairs": neardup_index_pairs_from_events,
+    # ingest-time near-dup gate: the unapplied epoch's docs checked
+    # against the pre-apply index state, SQL-replayed both sides
+    "neardup_gate": neardup_gate_from_events,
 }
 
 
@@ -307,6 +311,9 @@ _DRIVER_EXCLUDED = {
     #  expressions inside the composite pipeline)
     "token_count",  # (corpus_prep's quality gate + rollup value-check the
     #  same whitespace token counting inside the composite pipeline)
+    "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
+    #  machinery value-checked by the driver; the gate's delta variant
+    #  is SQL-checked every pytest run)
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
@@ -1054,6 +1061,62 @@ ORACLES: dict[str, str] = {
                          ON x.band = y.band AND x.bkey = y.bkey
                         AND x.doc_id < y.doc_id)
         SELECT doc_a, doc_b FROM pairs
+    """,
+    # SQL replay of the ingest-time near-dup gate
+    # (neardup_gate_from_events): existing side = LWW winners over
+    # epochs <= 2, incoming side = winners WITHIN epoch 3 only (the
+    # unapplied epoch); both sides' band keys via the same closed-form
+    # MinHash as neardup_index_pairs; n_bands = shared band count.
+    "neardup_gate": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete,
+                          LEAST(3, event_id * 4 // (mx.m + 1)) AS epoch
+                   FROM events, mx),
+             params AS (SELECT i,
+                               (2654435761 * (i + 1)) % 2147483647 AS a,
+                               (97 + 31 * i) % 2147483647 AS b
+                        FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+             exw AS (SELECT * FROM e WHERE epoch <= 2
+                     QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY lsn DESC) = 1
+                             AND NOT is_delete),
+             expost AS (SELECT DISTINCT doc_id,
+                               (lsn * 31 + i * 7) % 1000 AS token
+                        FROM (SELECT doc_id, lsn,
+                                     unnest(generate_series(0, lsn % 17)) AS i
+                              FROM exw)),
+             exsig AS (SELECT doc_id, p.i,
+                              MIN((p.a * token + p.b) % 2147483647) AS s
+                       FROM expost CROSS JOIN params p GROUP BY 1, 2),
+             exband AS (SELECT doc_id, i // 2 AS band,
+                               SUM(CASE WHEN i % 2 = 0
+                                        THEN s * 2147483647 ELSE s END) AS bkey
+                        FROM exsig GROUP BY 1, 2),
+             inw AS (SELECT * FROM e WHERE epoch = 3
+                     QUALIFY row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY lsn DESC) = 1
+                             AND NOT is_delete),
+             inpost AS (SELECT DISTINCT doc_id,
+                               (lsn * 31 + i * 7) % 1000 AS token
+                        FROM (SELECT doc_id, lsn,
+                                     unnest(generate_series(0, lsn % 17)) AS i
+                              FROM inw)),
+             insig AS (SELECT doc_id, p.i,
+                              MIN((p.a * token + p.b) % 2147483647) AS s
+                       FROM inpost CROSS JOIN params p GROUP BY 1, 2),
+             inband AS (SELECT doc_id, i // 2 AS band,
+                               SUM(CASE WHEN i % 2 = 0
+                                        THEN s * 2147483647 ELSE s END) AS bkey
+                        FROM insig GROUP BY 1, 2)
+        SELECT CAST(x.doc_id AS BIGINT) AS doc_id,
+               CAST(y.doc_id AS BIGINT) AS matched_doc,
+               COUNT(*) AS n_bands
+        FROM inband x JOIN exband y
+          ON x.band = y.band AND x.bkey = y.bkey
+         AND x.doc_id <> y.doc_id
+        GROUP BY 1, 2
     """,
     "ann_topk": """
         WITH sims AS (

@@ -252,6 +252,93 @@ def test_dupindex_partial_engine_fenced_tokens(tmp_path):
     assert list(got["doc_id"]) == ["a"]
 
 
+def test_gate_epoch_flags_incoming_neardups(tmp_path):
+    """Ingest-time gate: an arriving doc identical to a live one is
+    flagged on every band; an arriving update to a doc's OWN key is
+    not a self-match; unrelated docs pass clean — all answered from
+    the pre-apply index state."""
+    from lakecdc.dupindex import gate_epoch
+
+    cfg = EngineConfig(root=str(tmp_path / "gate"), num_buckets=4)
+    cfg.ensure_dirs()
+    _seg_v1(cfg, 0, [
+        (1, "insert", "a", [5, 6, 7], "s"),
+        (2, "insert", "b", [100, 101, 102], "s"),
+    ])
+    apply_all(cfg)
+    build_dupindex(cfg, band_buckets=4)
+    # epoch 1 arrives but is NOT applied: c duplicates a; a updates
+    # itself (same tokens -> would match only itself -> excluded);
+    # d is novel
+    _seg_v1(cfg, 1, [
+        (3, "insert", "c", [5, 6, 7], "s"),
+        (4, "update", "a", [5, 6, 7], "s"),
+        (5, "insert", "d", [900, 901], "s"),
+    ])
+    got = gate_epoch(cfg, 1, band_buckets=4)
+    from lakecdc.dupindex import NUM_BANDS
+
+    rows = {(r.doc_id, r.matched_doc): r.n_bands for r in got.itertuples()}
+    assert rows == {("c", "a"): NUM_BANDS}
+
+
+def test_gate_epoch_matches_brute(tmp_path):
+    """Randomized: gate output equals a brute band-match of the
+    incoming epoch's winners against the live lake one epoch back."""
+    from lakecdc.dupindex import gate_epoch
+
+    cfg = EngineConfig(root=str(tmp_path / "gb"), num_buckets=4)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir, n_docs=120, n_epochs=3, events_per_epoch=500,
+        seed=17, zipf_a=1.2,
+    )
+    apply_all(cfg, max_epoch=1)          # epoch 2 not applied
+    build_dupindex(cfg, band_buckets=BB)
+    got = gate_epoch(cfg, 2, band_buckets=BB)
+    # brute: incoming epoch-2 winners vs live band keys at epoch 1
+    import pyarrow.parquet as pq
+
+    seg = pd.concat(
+        [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(
+                os.path.join(cfg.wal_dir, "epoch=000000002", "*.parquet")
+            )
+        ],
+        ignore_index=True,
+    )
+    seg = seg.sort_values("lsn", kind="stable")
+    win = seg.groupby("doc_id", sort=False).tail(1)
+    win = win[win["op"] != "delete"]
+    toks = np.array(
+        [np.asarray(t) for t in win["tokens"]], dtype=object
+    )
+    mask, sig = signatures(toks)
+    bk = band_keys(sig)
+    inc = pd.DataFrame(
+        {
+            "doc_id": np.repeat(win["doc_id"].to_numpy(dtype=object)[mask], bk.shape[1]),
+            "band": np.tile(np.arange(bk.shape[1]), int(mask.sum())),
+            "bkey": bk.ravel(),
+        }
+    )
+    live = _brute_bands(cfg, up_to_epoch=1).rename(
+        columns={"doc_id": "matched_doc"}
+    )
+    hit = inc.merge(live, on=["band", "bkey"], how="inner")
+    hit = hit[hit["doc_id"] != hit["matched_doc"]]
+    want = (
+        hit.groupby(["doc_id", "matched_doc"], sort=True)
+        .size()
+        .reset_index(name="n_bands")
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n_bands": "int64"}),
+        want.reset_index(drop=True).astype({"n_bands": "int64"}),
+    )
+
+
 def test_signatures_closed_form_matches_sql_formula():
     """The numpy kernel equals a literal Python transcription of the
     SQL oracle's arithmetic (same params, same mod) on a few sets."""
