@@ -17,6 +17,7 @@ from lakecdc import (
     multimodal,
     queries as q,
     queries2 as q2,
+    sample,
     sketch,
     text,
 )
@@ -177,6 +178,11 @@ QUERIES: dict[str, Callable] = {
     "hopping_window": q2.hopping_window,
     "asof_join": q2.asof_join,
     "sampled_stats": q2.sampled_stats,  # deterministic hash-predicate sample
+    # deterministic sampling family (closed-form priority hash — every
+    # sampled row SQL-replayable; reproducible across re-runs/resume)
+    "bottomk_sample": sample.bottomk_sample,
+    "weighted_sample": sample.weighted_sample,
+    "stratified_sample": sample.stratified_sample,
     # --- text analysis ---
     "token_count": text.token_count,
     "quality_score": text.quality_score,
@@ -314,6 +320,11 @@ _DRIVER_EXCLUDED = {
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
+    # deterministic sampling family: sampled_stats is the kept driver-
+    # checked representative; all three are SQL-value-checked in pytest
+    "bottomk_sample",
+    "weighted_sample",
+    "stratified_sample",
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
@@ -599,6 +610,37 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(*) AS n, {_s(_c('l_extendedprice'))} AS sum_cents
         FROM lineitem
         WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000 < 50
+    """,
+    # deterministic sampling family — priority hash
+    # h(key) = ((2654435761 % (2^31-1)) * key + 97) % (2^31-1),
+    # identical integer arithmetic in numpy and DuckDB (lakecdc/sample.py)
+    "bottomk_sample": """
+        SELECT o_orderkey,
+               (506952114 * o_orderkey + 97) % 2147483647 AS priority
+        FROM orders
+        ORDER BY priority, o_orderkey LIMIT 100
+    """,
+    "weighted_sample": """
+        WITH s AS (
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders
+            WHERE (506952114 * o_orderkey + 97) % 2147483647
+                  < CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 5)
+        SELECT o_orderpriority,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM s GROUP BY 1
+    """,
+    "stratified_sample": """
+        SELECT l_returnflag,
+               l_orderkey * 10 + l_linenumber AS row_key,
+               (506952114 * (l_orderkey * 10 + l_linenumber) + 97)
+                   % 2147483647 AS priority
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY priority, row_key) <= 20
     """,
     "token_count": """
         SELECT lang,
