@@ -99,7 +99,9 @@ def signatures(tok_arrays: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     one vectorized hash of the flattened tokens + one
     ``minimum.reduceat`` per corpus, no per-doc Python."""
     lens = np.fromiter(
-        (len(t) for t in tok_arrays), dtype=np.int64, count=len(tok_arrays)
+        (0 if t is None else len(t) for t in tok_arrays),
+        dtype=np.int64,
+        count=len(tok_arrays),
     )
     mask = lens > 0
     if not mask.any():
