@@ -397,9 +397,11 @@ def gate_epoch(
       1. stream the epoch's events; batch-local LWW combine
          (merge.compact_events) so at most one row per doc per batch
          survives;
-      2. ONE delta-scale shuffle by ``hash(doc_id)`` folds global
-         winners per incoming doc (drop deletes / token-less docs) and
-         emits their band rows;
+      2. ONE delta-scale shuffle by ``hash(doc_id)`` (64 shards) folds
+         global winners per incoming doc (drop deletes / token-less
+         docs) and computes their band rows ONCE per doc — under key
+         skew a hot doc's signature is computed once, not once per
+         batch it appeared in;
       3. ONE delta-scale shuffle by band bucket matches each band row
          against that bucket's folded chain — the LAKE-scale side is
          never shuffled, each group point-reads only its own bucket's
@@ -417,6 +419,7 @@ def gate_epoch(
         up_to_epoch = epoch - 1
     root = dupindex_dir(cfg)
     ds = wal.read_segment(cfg, epoch)
+    doc_shards = max(band_buckets, 64)
 
     def combine(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -429,7 +432,7 @@ def gate_epoch(
             pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["lsn"]))
         )
         t = compact_events(t)
-        db = bucket_of(t["doc_id"], band_buckets)
+        db = bucket_of(t["doc_id"], doc_shards)
         return t.append_column("db", pa.array(db.astype(np.int64)))
 
     def winners_to_bands(g: pd.DataFrame) -> pd.DataFrame:
@@ -471,7 +474,16 @@ def gate_epoch(
         return hit[["doc_id", "matched_doc", "band"]].astype({"band": "int64"})
 
     hits = (
-        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        # 1M-event combine batches: ~2x fewer winner rows reach the
+        # doc shuffle than per-segment batches under Zipf skew, for
+        # ~0.2s of extra map-side CPU (measured on the 32M-event bench
+        # epoch; see BASELINE.md)
+        ds.map_batches(
+            combine,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1_000_000,
+        )
         .groupby("db")
         .map_groups(winners_to_bands, batch_format="pandas")
         .groupby("bb")
