@@ -162,6 +162,14 @@ def _band_deltas(
     tokens."""
     to_df = _live_token_state(files_to, engine)
     fdf = _live_token_state(files_from, engine) if files_from else to_df.iloc[0:0]
+    return _band_deltas_from_states(fdf, to_df)
+
+
+def _band_deltas_from_states(fdf: pd.DataFrame, to_df: pd.DataFrame) -> pa.Table:
+    """The pure delta kernel over two live-state frames
+    ``(doc_id, _lsn, tokens)`` — property-tested directly
+    (tests/test_property_kernels.py): any chain of state deltas,
+    LWW-folded, must reproduce the final state's band rows."""
     old_lsn = pd.Series(
         fdf["_lsn"].to_numpy(dtype=np.int64), index=fdf["doc_id"], dtype="int64"
     )

@@ -143,3 +143,75 @@ def test_diff_frames_round_trip(stream):
     for r in ev.itertuples():
         if r.op != "delete":
             assert a_live_lsn.get(r.doc_id) != r.lsn
+
+
+# ---------------------------------------------------------------------------
+# Dup-index delta kernel: any chain of live-state deltas, LWW-folded,
+# reproduces the final state's band rows (the incremental == batch
+# guarantee the Ray maintenance loop relies on).
+# ---------------------------------------------------------------------------
+
+_DOCS = [f"d{i}" for i in range(5)]
+
+# one epoch's worth of mutations: doc -> new token list (empty = delete)
+epoch_st = st.dictionaries(
+    st.sampled_from(_DOCS),
+    st.one_of(st.none(), st.lists(st.integers(0, 30), max_size=6)),
+    max_size=5,
+)
+
+
+def _states_from_script(script):
+    """Materialize live-state frames (doc_id, _lsn, tokens) after each
+    epoch of mutations, with globally increasing LSNs (WAL contract)."""
+    lsn = 0
+    live: dict[str, tuple[int, list[int]]] = {}
+    states = []
+    for muts in script:
+        for doc in sorted(muts):
+            lsn += 1
+            if muts[doc] is None:
+                live.pop(doc, None)
+            else:
+                live[doc] = (lsn, muts[doc])
+        states.append(
+            pd.DataFrame(
+                {
+                    "doc_id": list(live),
+                    "_lsn": np.array([v[0] for v in live.values()], dtype=np.int64),
+                    "tokens": [np.array(v[1], dtype=np.int64) for v in live.values()],
+                }
+            )
+        )
+    return states
+
+
+@settings(max_examples=60, deadline=None)
+@given(script=st.lists(epoch_st, min_size=1, max_size=5))
+def test_dupindex_delta_chain_folds_to_final_state(script):
+    from lakecdc.dupindex import _band_deltas_from_states, _band_rows, _fold_live
+
+    states = _states_from_script(script)
+    empty = states[0].iloc[0:0]
+    deltas = []
+    prev = empty
+    for s in states:
+        deltas.append(_band_deltas_from_states(prev, s).to_pandas())
+        prev = s
+    chain = pd.concat(deltas, ignore_index=True)
+    folded = _fold_live(chain)[["doc_id", "band", "bkey"]]
+    final = states[-1]
+    want = _band_rows(
+        final["doc_id"].to_numpy(dtype=object),
+        final["_lsn"].to_numpy(dtype=np.int64),
+        final["tokens"].to_numpy(),
+    )[["doc_id", "band", "bkey"]]
+
+    def norm(df):
+        return (
+            df.astype({"band": "int64", "bkey": "int64"})
+            .sort_values(["doc_id", "band", "bkey"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(norm(folded), norm(want))
