@@ -65,7 +65,7 @@ def _mulmod(col: str, c: str) -> str:
 
 # splitmix64 constants (decimal: DuckDB has no hex literals):
 # 0xBF58476D1CE4E5B9, 0x94D049BB133111EB (lakecdc.text._mix64)
-_WINNOW_SQL = f"""
+_WINNOW_FP_CTE = f"""
     WITH pos AS (
       SELECT doc_id, len(text) - 3 AS m,
              unnest(generate_series(1, len(text) - 3)) AS p, text
@@ -87,13 +87,29 @@ _WINNOW_SQL = f"""
         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
       FROM mh),
-    fp AS (SELECT DISTINCT doc_id, sel FROM wmin WHERE p <= GREATEST(m - 5, 0) + 1),
+    fp AS (SELECT DISTINCT doc_id, sel FROM wmin WHERE p <= GREATEST(m - 5, 0) + 1)"""
+
+_WINNOW_SQL = f"""{_WINNOW_FP_CTE},
     agg AS (SELECT doc_id,
                    string_agg(lower(hex(sel)), ',' ORDER BY sel) AS fingerprint,
                    COUNT(*) AS n FROM fp GROUP BY 1)
     SELECT d.doc_id, COALESCE(a.fingerprint, '') AS fingerprint,
            CAST(COALESCE(a.n, 0) AS BIGINT) AS n_fingerprints
     FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# Contamination scan: corpus docs sharing winnowing fingerprints with
+# the probe set (the 8 smallest doc_ids — text.contamination_check's
+# deterministic stand-in for benchmark texts).
+_CONTAMINATION_SQL = f"""{_WINNOW_FP_CTE},
+    pids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8),
+    probe AS (SELECT f.doc_id AS probe_doc, f.sel
+              FROM fp f JOIN pids ON f.doc_id = pids.doc_id),
+    cand AS (SELECT f.doc_id, f.sel FROM fp f
+             WHERE f.doc_id NOT IN (SELECT doc_id FROM pids))
+    SELECT c.doc_id, p.probe_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cand c JOIN probe p USING (sel)
+    GROUP BY 1, 2
 """
 
 
@@ -236,6 +252,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_verified": ann.ann_ivf_verified,
     "ann_lsh_verified": ann.ann_lsh_verified,
     "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
+    "contamination_check": text.contamination_check,  # probe-set decontamination
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -325,6 +342,9 @@ _DRIVER_EXCLUDED = {
     "bottomk_sample",
     "weighted_sample",
     "stratified_sample",
+    "contamination_check",  # (winnowing_fingerprints: driver-checks the
+    #  same fingerprint kernel; the probe-join composition is
+    #  SQL-value-checked every pytest run)
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
@@ -932,6 +952,7 @@ ORACLES: dict[str, str] = {
     # window frame (frame truncation at partition end covers the
     # m <= window whole-doc-min branch), distinct sorted hex join.
     "winnowing_fingerprints": _WINNOW_SQL,
+    "contamination_check": _CONTAMINATION_SQL,
     # SQL LWW replay of the full engine run in run_flagship_from_events
     # (see its docstring for the shared derivation). The last event per
     # doc_id by lsn wins; deletes tombstone; pre-evolution epochs (0-1)

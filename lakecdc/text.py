@@ -221,6 +221,31 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(31))
 
 
+def _winnow_doc(
+    text: str, k: int = 4, window: int = 5, base: int = 1099511628211
+) -> np.ndarray:
+    """One document's winnowing fingerprint set (sorted unique uint64
+    selections) — the vectorized kernel shared by
+    winnowing_fingerprints and contamination_check."""
+    ubase = np.uint64(base)
+    b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    m = len(b) - k + 1
+    if m < 1:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k tiny, each step vectorized over all grams
+        h = h * ubase + b[j : j + m]
+    h = _mix64(h)
+    if m <= window:
+        sel = h.min(keepdims=True)
+    else:
+        w = h[: m - window + 1].copy()
+        for j in range(1, window):  # window-1 vectorized mins
+            np.minimum(w, h[j : j + m - window + 1], out=w)
+        sel = w
+    return np.unique(sel)
+
+
 def winnowing_fingerprints(
     sf_dir: str, k: int = 4, window: int = 5, base: int = 1099511628211
 ) -> pd.DataFrame:
@@ -241,26 +266,8 @@ def winnowing_fingerprints(
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         fps, sizes = [], []
-        ubase = np.uint64(base)
         for text in batch["text"]:
-            b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
-            m = len(b) - k + 1
-            if m < 1:
-                fps.append("")
-                sizes.append(0)
-                continue
-            h = np.zeros(m, dtype=np.uint64)
-            for j in range(k):  # k tiny, each step vectorized over all grams
-                h = h * ubase + b[j : j + m]
-            h = _mix64(h)
-            if m <= window:
-                sel = h.min(keepdims=True)
-            else:
-                w = h[: m - window + 1].copy()
-                for j in range(1, window):  # window-1 vectorized mins
-                    np.minimum(w, h[j : j + m - window + 1], out=w)
-                sel = w
-            sel = np.unique(sel)
+            sel = _winnow_doc(text, k, window, base)
             fps.append(",".join(format(s, "x") for s in sel.tolist()))
             sizes.append(len(sel))
         return pd.DataFrame(
@@ -270,6 +277,96 @@ def winnowing_fingerprints(
     df = ds.map_batches(f, batch_format="pandas", batch_size=512).to_pandas()
     df["n_fingerprints"] = df["n_fingerprints"].astype("int64")
     return df
+
+
+def contamination_check(
+    sf_dir: str, probe_docs: int = 8, min_shared: int = 1
+) -> pd.DataFrame:
+    """Benchmark-contamination scan: flag corpus documents that share
+    winnowing fingerprints with a PROBE set (in a real pipeline, the
+    eval-benchmark texts — here, deterministically, the ``probe_docs``
+    smallest doc_ids). The standard decontamination step of a
+    training-data pipeline (drop training docs that contain benchmark
+    passages), priced corpus-side as one streaming pass:
+
+    - probe side is tiny by definition: its texts are point-read with
+      a parquet predicate and fingerprinted on the driver, then the
+      (fingerprint -> probe doc) table broadcasts once via ray.put;
+    - corpus side streams through map_batches: per doc the winnowing
+      kernel + one np.isin against the sorted probe fingerprints;
+      only hits join the probe table — output is contamination-scale.
+
+    Returns (doc_id, probe_doc, n_shared) for every corpus doc sharing
+    >= min_shared distinct fingerprints with a probe doc, sorted.
+    Reference analogue: the intermediate-subset-of-final containment
+    checks of validate_outputs.py:390-408 generalized to fuzzy
+    (fingerprint) containment."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from lakecdc.qutil import table_path
+
+    ids = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+    probe_ids = np.sort(ids["doc_id"].to_numpy(zero_copy_only=False))[
+        :probe_docs
+    ]
+    probe_t = pq.read_table(
+        table_path(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", probe_ids.tolist())],
+    ).to_pandas()
+    rows = []
+    for _, r in probe_t.iterrows():
+        for s in _winnow_doc(r["text"]):
+            rows.append((np.int64(s.astype(np.int64)), r["doc_id"]))
+    probe_df = pd.DataFrame(rows, columns=["sel", "probe_doc"])
+    probe_sels = np.sort(probe_df["sel"].unique())
+    probe_ref = ray.put((probe_sels, probe_df))
+    probe_id_set = set(int(x) for x in probe_ids)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        sels_ref, pdf = ray.get(probe_ref)
+        outs = []
+        for doc, text in zip(batch["doc_id"], batch["text"]):
+            if int(doc) in probe_id_set:
+                continue
+            sel = _winnow_doc(text).astype(np.int64)
+            hit = sel[np.isin(sel, sels_ref)]
+            if not len(hit):
+                continue
+            m = pd.DataFrame({"sel": hit}).merge(pdf, on="sel")
+            g = m.groupby("probe_doc").size().reset_index(name="n_shared")
+            g.insert(0, "doc_id", doc)
+            outs.append(g)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "probe_doc": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    hits = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pandas", batch_size=512)
+        .to_pandas()
+    )
+    if "doc_id" not in hits.columns or not len(hits):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "probe_doc": pd.Series(dtype="int64"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    hits = hits[hits["n_shared"] >= min_shared]
+    return (
+        hits.astype({"doc_id": "int64", "probe_doc": "int64", "n_shared": "int64"})
+        .sort_values(["doc_id", "probe_doc"])
+        .reset_index(drop=True)
+    )
 
 
 def fingerprint_census(sf_dir: str) -> pd.DataFrame:
