@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from lakecdc import (
     ann,
+    cluster,
     dedup,
     delimited,
     multimodal,
@@ -253,6 +254,9 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh_verified": ann.ann_lsh_verified,
     "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
     "contamination_check": text.contamination_check,  # probe-set decontamination
+    # iterative ML: distributed integer k-means — no SQL oracle
+    # (iterative), bit-identical to a single-process replay in pytest
+    "kmeans_embeddings": cluster.kmeans_embeddings,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -345,6 +349,8 @@ _DRIVER_EXCLUDED = {
     "contamination_check",  # (winnowing_fingerprints: driver-checks the
     #  same fingerprint kernel; the probe-join composition is
     #  SQL-value-checked every pytest run)
+    "kmeans_embeddings",  # iterative (no SQL oracle); bit-identical to
+    #  the single-process replay in tests/test_cluster.py
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
