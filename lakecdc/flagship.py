@@ -140,6 +140,41 @@ def _write_events_wal(sf_dir: str, work_root: str | None, tag_prefix: str) -> En
     return cfg
 
 
+def time_travel_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable TIME TRAVEL: run the engine on the
+    events-derived WAL (same derivation as run_flagship_from_events),
+    then read the lake AS OF every committed epoch via the manifest's
+    versioned partition view (lake.read_lake_local(up_to_epoch=e)) and
+    emit each snapshot's live rows with integer token digests. The SQL
+    oracle replays LWW restricted to lsn-ranges of epochs <= e for each
+    as-of point — so the manifest time-travel surface (which files a
+    reader at epoch e sees) is value-checked externally, not just in
+    pytest. Analogue of re-reading a past stage output in the
+    reference (merge_support.py:105-107), generalized to any epoch."""
+    import numpy as np
+
+    cfg = _write_events_wal(sf_dir, work_root, "ttravel")
+    apply_all(cfg)
+    frames = []
+    for e in range(4):
+        lake = read_lake_local(cfg, up_to_epoch=e)
+        toks = lake["tokens"]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "as_of_epoch": np.full(len(lake), e, dtype=np.int64),
+                    "doc_id": lake["doc_id"],
+                    "n_tok": lake["n_tok"].astype("int64"),
+                    "token_sum": [int(np.sum(t)) if len(t) else 0 for t in toks],
+                    "source": lake["source"],
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    out["token_sum"] = out["token_sum"].astype("int64")
+    return out.sort_values(["as_of_epoch", "doc_id"]).reset_index(drop=True)
+
+
 def snapshot_diff_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
     """Driver-oracle-checkable snapshot DIFF: run the engine on the
     events-derived WAL (same derivation as run_flagship_from_events),

@@ -303,6 +303,71 @@ def asof_join(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def range_join(sf_dir: str, window_minutes: int = 60) -> pd.DataFrame:
+    """Range (interval) join: for each event, the same user's STRICTLY
+    EARLIER events within the trailing ``window_minutes`` band — an
+    equi-join on the key plus a banded time predicate, the operator
+    class between the point equi-join and the as-of join (which keeps
+    only the single nearest match over an unbounded band).
+
+    Physical plan: one column-pruned read, hash-bucket by the key,
+    ONE shuffle, then a vectorized per-bucket self-merge + band filter
+    + per-event aggregate (the standard banded-join plan — candidate
+    blow-up is bounded by events-per-user within the band). Every
+    bucket's work is independent; nothing is driver-materialized, so
+    the plan holds at 100 TB with the band as the skew knob.
+
+    Output: one row per event with >= 1 in-band predecessor:
+    (event_id, user_id, n_prior, prior_cents).
+    """
+    P = 32
+    ev = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "value_cents": cents(t["value"]),
+            }
+        )
+        return with_int_bucket(out, "key", P)
+
+    _EMPTY = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "n_prior": pd.Series(dtype="int64"),
+            "prior_cents": pd.Series(dtype="int64"),
+        }
+    )
+    band = pd.Timedelta(minutes=window_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[["event_id", "key", "ts"]]
+        right = g[["key", "ts", "value_cents"]].rename(columns={"ts": "b_ts"})
+        m = left.merge(right, on="key", how="inner")
+        m = m[(m["b_ts"] < m["ts"]) & (m["b_ts"] >= m["ts"] - band)]
+        if m.empty:
+            return _EMPTY
+        agg = m.groupby(["event_id", "key"], as_index=False).agg(
+            n_prior=("value_cents", "size"), prior_cents=("value_cents", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": agg["event_id"].astype("int64"),
+                "user_id": agg["key"].astype("int64"),
+                "n_prior": agg["n_prior"].astype("int64"),
+                "prior_cents": agg["prior_cents"].astype("int64"),
+            }
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return out.to_pandas()
+
+
 class _Bloom:
     """Minimal vectorized Bloom filter (double hashing, numpy bit
     array). Deterministic; built once on the driver and broadcast."""

@@ -29,6 +29,7 @@ from lakecdc.flagship import (
     run_flagship,
     run_flagship_from_events,
     snapshot_diff_from_events,
+    time_travel_from_events,
     token_index_from_events,
 )
 
@@ -194,6 +195,9 @@ QUERIES: dict[str, Callable] = {
     "session_window": q2.session_window,
     "hopping_window": q2.hopping_window,
     "asof_join": q2.asof_join,
+    # banded interval join (equi-key + trailing time window): the
+    # operator class between the point equi-join and the as-of join
+    "range_join": q2.range_join,
     "sampled_stats": q2.sampled_stats,  # deterministic hash-predicate sample
     # deterministic sampling family (closed-form priority hash — every
     # sampled row SQL-replayable; reproducible across re-runs/resume)
@@ -202,6 +206,7 @@ QUERIES: dict[str, Callable] = {
     "stratified_sample": sample.stratified_sample,
     # --- text analysis ---
     "token_count": text.token_count,
+    "token_count_regex": text.token_count_regex,  # BPE-ish RE2 pre-tokenizer
     "quality_score": text.quality_score,
     "lang_id": text.lang_id,  # deterministic heuristic, SQL-replayed below
     "fingerprint_census": text.fingerprint_census,
@@ -273,6 +278,10 @@ QUERIES: dict[str, Callable] = {
     "token_index_lookup": token_index_from_events,
     # engine + lineage metrics: per-epoch manifest rollup, SQL-replayed
     "cdc_lineage_rollup": lineage_rollup_from_events,
+    # engine + TIME TRAVEL: the lake read as-of every committed epoch
+    # through the manifest's versioned partition view, SQL-replayed
+    # with per-epoch LSN-range-restricted LWW
+    "cdc_time_travel": time_travel_from_events,
     # engine + incremental MinHash-LSH near-dup index: every band key
     # the per-epoch delta maintenance produces, value-checked via a
     # closed-form MinHash replay in SQL
@@ -312,6 +321,10 @@ _DRIVER_ORDER_HEAD = [
     # round-3 addition: the CDC-maintained near-dup index (engine x
     # dedup crossover), value-checked via closed-form MinHash SQL
     "neardup_index_pairs",
+    # round-3 additions: the versioned-read (time travel) surface and
+    # the banded interval join, both SQL-value-checked
+    "cdc_time_travel",
+    "range_join",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -338,6 +351,13 @@ _DRIVER_EXCLUDED = {
     #  expressions inside the composite pipeline)
     "token_count",  # (corpus_prep's quality gate + rollup value-check the
     #  same whitespace token counting inside the composite pipeline)
+    "token_count_regex",  # (same single-map shape as token_count; its RE2
+    #  count kernel is SQL-value-checked every pytest run)
+    "value_counts",  # (A6 groupby-count appears verbatim inside the kept
+    #  regex_extract_filter / union_provenance / grouped_sum oracles)
+    "derived_flag_split",  # (a two-column projection of the kept
+    #  multiway_left_join: same totals + has_money computation, same oracle
+    #  arithmetic — driver-green in r01/r02, demoted to pytest-only)
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
@@ -632,6 +652,16 @@ ORACLES: dict[str, str] = {
                                        ORDER BY o_orderkey DESC) = 1) o
         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
+    "range_join": f"""
+        SELECT a.event_id, a.user_id,
+               COUNT(*) AS n_prior,
+               CAST(SUM({_c('b.value')}) AS BIGINT) AS prior_cents
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts < a.ts
+         AND b.ts >= a.ts - INTERVAL 60 MINUTE
+        GROUP BY 1, 2
+    """,
     "sampled_stats": f"""
         SELECT COUNT(*) AS n, {_s(_c('l_extendedprice'))} AS sum_cents
         FROM lineitem
@@ -674,6 +704,15 @@ ORACLES: dict[str, str] = {
                    AS total_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
+    """,
+    # Same RE2 pattern as text.BPE_PATTERN (pyarrow and DuckDB both
+    # compile it with RE2, so non-overlapping match counts agree).
+    "token_count_regex": """
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
     """,
     "quality_score": """
         WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks, n_chars
@@ -989,6 +1028,35 @@ ORACLES: dict[str, str] = {
                CAST((l.lsn * 31 + (l.lsn % 17) * 7) % 1000 AS BIGINT) AS tok_last,
                CASE WHEN l.epoch >= 2 THEN 'ev' || l.epoch END AS source
         FROM live l JOIN sums s USING (doc_id)
+    """,
+    # SQL replay of the manifest time-travel read (see
+    # time_travel_from_events): for each as-of epoch e, LWW winners
+    # among events whose derived epoch is <= e — the state a versioned
+    # reader at epoch e must see. Shares cdc_apply_events' derivation.
+    "cdc_time_travel": """
+        WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+             e AS (SELECT event_id AS lsn,
+                          CAST(user_id AS VARCHAR) AS doc_id,
+                          event_type = 'error' AS is_delete,
+                          LEAST(3, event_id * 4 // (mx.m + 1)) AS epoch
+                   FROM events, mx),
+             ae(as_of) AS (VALUES (0), (1), (2), (3)),
+             w AS (SELECT ae.as_of, e.* FROM e JOIN ae ON e.epoch <= ae.as_of
+                   QUALIFY row_number() OVER (PARTITION BY ae.as_of, e.doc_id
+                                              ORDER BY e.lsn DESC) = 1),
+             live AS (SELECT * FROM w WHERE NOT is_delete),
+             tok AS (SELECT as_of, doc_id, lsn,
+                            unnest(generate_series(0, lsn % 17)) AS i
+                     FROM live),
+             sums AS (SELECT as_of, doc_id,
+                             CAST(SUM((lsn * 31 + i * 7) % 1000) AS BIGINT)
+                                 AS token_sum
+                      FROM tok GROUP BY 1, 2)
+        SELECT CAST(l.as_of AS BIGINT) AS as_of_epoch, l.doc_id,
+               CAST(l.lsn % 17 + 1 AS BIGINT) AS n_tok,
+               s.token_sum,
+               CASE WHEN l.epoch >= 2 THEN 'ev' || l.epoch END AS source
+        FROM live l JOIN sums s USING (as_of, doc_id)
     """,
     # SQL replay of the snapshot diff (lakecdc.diff over the engine run
     # in snapshot_diff_from_events): LWW state over epochs <= 1 vs the

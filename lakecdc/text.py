@@ -43,6 +43,30 @@ def token_count(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+# BPE-style pre-tokenizer pattern: letter runs, digit runs, single
+# punctuation marks — the class shape of GPT-2's pre-tokenizer, kept
+# to constructs RE2 supports identically in pyarrow and DuckDB.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_regex(sf_dir: str) -> pd.DataFrame:
+    """Regex (BPE-ish) token counting per document: non-overlapping
+    matches of BPE_PATTERN counted by the vectorized RE2 kernel
+    ``pc.count_substring_regex`` — zero-copy Arrow in, no Python loop.
+    The whitespace counterpart is token_count; a trained BPE merge
+    table would run in the same actor-pool shape.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], BPE_PATTERN), pa.int64())
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_bpe_tokens": n}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
 def quality_score(sf_dir: str) -> pd.DataFrame:
     """Per-document quality features: chars-per-token and duplicate-
     token ratio (1 - distinct/total), both as *_e6 fixed-point.
