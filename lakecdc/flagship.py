@@ -140,6 +140,52 @@ def _write_events_wal(sf_dir: str, work_root: str | None, tag_prefix: str) -> En
     return cfg
 
 
+def resume_compact_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable CRASH-RESUME + COMPACTION + VACUUM: run
+    the engine on the events-derived WAL, but crash it mid-stream —
+    epochs 0-1 apply, then a subset of epoch-1 partition commits is
+    deleted (as if those merges never committed) — then RESUME with a
+    plain re-apply (manifest short-circuit: committed partitions
+    no-op, crashed ones re-merge idempotently), finish the stream,
+    fold every partition's chain with compact() and vacuum() the
+    superseded files. The final state must be byte-identical to the
+    clean run, so this shares cdc_apply_events' SQL oracle VERBATIM —
+    externally value-checking the exactly-once resume and the
+    tombstone-compaction surfaces of the north rule, not just their
+    pytest suites. Reference analogue: re-running a stage reuses
+    earlier checkpoints (merge_support.py:105-107)."""
+    import numpy as np
+
+    from lakecdc import manifest
+    from lakecdc.compact import compact, vacuum
+
+    cfg = _write_events_wal(sf_dir, work_root, "resume")
+    apply_all(cfg, max_epoch=1)
+    victims = sorted(manifest.committed_partitions(cfg, 1))[:5]
+    for b in victims:
+        os.remove(
+            os.path.join(cfg.manifest_dir, "epoch=000000001", f"part-{b:05d}.json")
+        )
+    apply_all(cfg)  # resume: epoch 1's crashed partitions re-merge, 2-3 apply
+    compact(cfg)
+    vacuum(cfg)
+    lake = read_lake_local(cfg)
+    toks = lake["tokens"]
+    out = pd.DataFrame(
+        {
+            "doc_id": lake["doc_id"],
+            "n_tok": lake["n_tok"].astype("int64"),
+            "token_sum": [int(np.sum(t)) if len(t) else 0 for t in toks],
+            "tok_first": [int(t[0]) if len(t) else -1 for t in toks],
+            "tok_last": [int(t[-1]) if len(t) else -1 for t in toks],
+            "source": lake["source"],
+        }
+    )
+    for c in ("token_sum", "tok_first", "tok_last"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def time_travel_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
     """Driver-oracle-checkable TIME TRAVEL: run the engine on the
     events-derived WAL (same derivation as run_flagship_from_events),

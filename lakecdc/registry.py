@@ -26,6 +26,7 @@ from lakecdc.flagship import (
     lineage_rollup_from_events,
     neardup_gate_from_events,
     neardup_index_pairs_from_events,
+    resume_compact_from_events,
     run_flagship,
     run_flagship_from_events,
     snapshot_diff_from_events,
@@ -282,6 +283,11 @@ QUERIES: dict[str, Callable] = {
     # through the manifest's versioned partition view, SQL-replayed
     # with per-epoch LSN-range-restricted LWW
     "cdc_time_travel": time_travel_from_events,
+    # engine + CRASH-RESUME + COMPACTION + VACUUM: mid-stream partition
+    # commits deleted, resumed, chains folded, superseded files
+    # vacuumed — the final state must equal the clean run, so it shares
+    # cdc_apply_events' SQL oracle verbatim (assigned below)
+    "cdc_resume_compact": resume_compact_from_events,
     # engine + incremental MinHash-LSH near-dup index: every band key
     # the per-epoch delta maintenance produces, value-checked via a
     # closed-form MinHash replay in SQL
@@ -321,9 +327,11 @@ _DRIVER_ORDER_HEAD = [
     # round-3 addition: the CDC-maintained near-dup index (engine x
     # dedup crossover), value-checked via closed-form MinHash SQL
     "neardup_index_pairs",
-    # round-3 additions: the versioned-read (time travel) surface and
-    # the banded interval join, both SQL-value-checked
+    # round-3 additions: the versioned-read (time travel) surface, the
+    # crash-resume + compaction + vacuum surface, and the banded
+    # interval join, all SQL-value-checked
     "cdc_time_travel",
+    "cdc_resume_compact",
     "range_join",
 ]
 _DRIVER_EXCLUDED = {
@@ -361,6 +369,9 @@ _DRIVER_EXCLUDED = {
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
+    "kmv_verified",  # (hll_verified: the sketch family's stronger driver
+    #  rep — full register-state replay; KMV's all-integer estimator
+    #  replay stays SQL-value-checked every pytest run)
     # deterministic sampling family: sampled_stats is the kept driver-
     # checked representative; all three are SQL-value-checked in pytest
     "bottomk_sample",
@@ -1273,3 +1284,7 @@ ORACLES: dict[str, str] = {
 # brute force — they share ann_topk's oracle verbatim.
 ORACLES["ann_ivf_verified"] = ORACLES["ann_topk"]
 ORACLES["ann_lsh_verified"] = ORACLES["ann_topk"]
+
+# Crash-resume + compaction + vacuum must converge to the clean run's
+# exact state — the query shares the full-engine LWW replay verbatim.
+ORACLES["cdc_resume_compact"] = ORACLES["cdc_apply_events"]
