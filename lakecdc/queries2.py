@@ -85,6 +85,52 @@ def quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([out])[["n", "p25_cents", "p50_cents", "p75_cents", "p95_cents"]]
 
 
+def grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact PER-GROUP quantiles (discrete / type-1): one groupby
+    builds a (group, value)-count histogram — the shuffle moves one
+    row per distinct (group, value), not per row — then a second
+    metadata-scale groupby computes each group's quantiles from its
+    own histogram cumsum, fully distributed (no driver pass; a group's
+    histogram is as small as its distinct-value count). The per-group
+    generalization of `quantiles`; matches DuckDB quantile_disc.
+    """
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "price_cents": cents(t["l_extendedprice"]),
+            }
+        )
+
+    hist = (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "price_cents"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_cents")
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["price_cents"].to_numpy()
+        row = {"l_returnflag": g["l_returnflag"].iloc[0], "n": n}
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+            k = int(np.ceil(q * n))  # 1-based rank of quantile_disc
+            row[name + "_cents"] = int(vals[np.searchsorted(cum, k)])
+        return pd.DataFrame([row])
+
+    df = (
+        hist.groupby("l_returnflag")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n", "p25_cents", "p50_cents", "p75_cents", "p95_cents"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def tumbling_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling event-time window (1 day) per user: Ray Data has no
     watermarks, so the window key is DERIVED (floor of event time) and

@@ -192,6 +192,7 @@ QUERIES: dict[str, Callable] = {
     "shuffle_join": q2.shuffle_join,
     "bloom_semi_join": q2.bloom_semi_join,
     "quantiles": q2.quantiles,
+    "grouped_quantiles": q2.grouped_quantiles,  # per-group exact percentiles
     "tumbling_window": q2.tumbling_window,
     "session_window": q2.session_window,
     "hopping_window": q2.hopping_window,
@@ -218,6 +219,9 @@ QUERIES: dict[str, Callable] = {
     # GPT-style concat-and-chunk sequence packing via a distributed
     # exclusive prefix sum (per-source doc_id order, 2048-token cuts)
     "pack_sequences": text.pack_sequences,
+    # data mixing: per-source token budget via the same distributed
+    # exclusive prefix sum (greedy prefix in doc_id order)
+    "token_budget_mix": text.token_budget_mix,
     # --- dedup family ---
     "jaccard_dupes": lambda sf: dedup.jaccard_dupes(sf, threshold=0.9),
     "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, threshold=0.9),
@@ -369,6 +373,12 @@ _DRIVER_EXCLUDED = {
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
+    "grouped_quantiles",  # (quantiles: same distributed-histogram machinery
+    #  driver-checked globally; the per-group variant is SQL-value-checked
+    #  every pytest run)
+    "token_budget_mix",  # (pack_sequences: same distributed exclusive
+    #  prefix-sum machinery driver-checked; the budget filter is
+    #  SQL-value-checked every pytest run)
     "kmv_verified",  # (hll_verified: the sketch family's stronger driver
     #  rep — full register-state replay; KMV's all-integer estimator
     #  replay stays SQL-value-checked every pytest run)
@@ -626,6 +636,15 @@ ORACLES: dict[str, str] = {
                quantile_disc(pc, 0.95) AS p95_cents
         FROM c
     """,
+    "grouped_quantiles": f"""
+        WITH c AS (SELECT l_returnflag, {_c('l_extendedprice')} AS pc FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n,
+               quantile_disc(pc, 0.25) AS p25_cents,
+               quantile_disc(pc, 0.50) AS p50_cents,
+               quantile_disc(pc, 0.75) AS p75_cents,
+               quantile_disc(pc, 0.95) AS p95_cents
+        FROM c GROUP BY 1
+    """,
     "tumbling_window": f"""
         SELECT user_id, date_trunc('day', ts) AS window_start,
                {_s(_c('value'))} AS sum_value_cents, COUNT(*) AS n_events
@@ -816,16 +835,32 @@ ORACLES: dict[str, str] = {
                               AS n_tokens
                    FROM documents),
              c AS (SELECT doc_id, source, n_tokens,
-                          COALESCE(SUM(n_tokens) OVER (
+                          CAST(COALESCE(SUM(n_tokens) OVER (
                               PARTITION BY source ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                          ), 0) AS cb
+                          ), 0) AS BIGINT) AS cb
                    FROM t)
         SELECT doc_id, source, n_tokens,
                cb // 2048 AS seq_first,
                (cb + GREATEST(n_tokens, 1) - 1) // 2048 AS seq_last,
                cb % 2048 AS seq_offset
         FROM c
+    """,
+    # Greedy per-source token-budget prefix (see text.token_budget_mix):
+    # keep a doc iff the running total BEFORE it is under budget.
+    "token_budget_mix": """
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                          CAST(COALESCE(SUM(n_tokens) OVER (
+                              PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), 0) AS BIGINT) AS cum_before
+                   FROM t)
+        SELECT doc_id, source, n_tokens, cum_before
+        FROM c WHERE cum_before < 500
     """,
     "ngram_jaccard": """
         WITH grams AS (

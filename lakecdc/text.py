@@ -536,3 +536,93 @@ def pack_sequences(
             for c in ["doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset"]
         }
     )
+
+
+def token_budget_mix(
+    sf_dir: str, budget: int = 500, bucket_width: int = 4096
+) -> pd.DataFrame:
+    """Data mixing: cap each source at a per-source TOKEN BUDGET,
+    keeping docs in deterministic doc_id order until the budget is
+    reached (a doc is kept iff the tokens BEFORE it are under budget —
+    the greedy prefix rule, so the last kept doc may overflow). The
+    per-source sampling step of assembling a pretraining mixture.
+
+    Same distributed-exclusive-prefix-sum shape as pack_sequences:
+    per-(source, id-bucket) token partials -> driver exclusive scan of
+    the metadata-scale partials -> per-bucket local cumsum + keep
+    filter. Buckets whose offset already exceeds the budget emit
+    nothing (and at scale could be pruned before the group stage).
+
+    Output one row per KEPT doc: (doc_id, source, n_tokens,
+    cum_before) — cum_before externally checks the prefix sum itself.
+    """
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def feat(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas().str.strip()
+        n = s.str.split(r"\s+", regex=True).str.len().fillna(0).astype("int64")
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "bucket": pa.array(
+                    (ids // bucket_width).astype(np.int64), type=pa.int64()
+                ),
+                "n_tokens": pa.array(n.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    partials = (
+        feats.groupby(["source", "bucket"])
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+    )
+    partials["offset"] = (
+        partials.groupby("source")["bucket_tokens"].cumsum()
+        - partials["bucket_tokens"]
+    )
+    off_map = {
+        (s, int(b)): int(o)
+        for s, b, o in zip(
+            partials["source"], partials["bucket"], partials["offset"]
+        )
+    }
+    ref = ray.put(off_map)
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "source": pd.Series(dtype=object),
+            "n_tokens": pd.Series(dtype="int64"),
+            "cum_before": pd.Series(dtype="int64"),
+        }
+    )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        off = ray.get(ref)[(g["source"].iloc[0], int(g["bucket"].iloc[0]))]
+        if off >= budget:
+            return _EMPTY
+        n = g["n_tokens"].to_numpy()
+        cum_before = off + np.cumsum(n) - n
+        m = cum_before < budget
+        if not m.any():
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[m],
+                "source": g["source"].to_numpy()[m],
+                "n_tokens": n[m],
+                "cum_before": cum_before[m],
+            }
+        )
+
+    out = feats.groupby(["source", "bucket"]).map_groups(
+        keep, batch_format="pandas"
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df.astype({c: "int64" for c in ["doc_id", "n_tokens", "cum_before"]})
