@@ -133,6 +133,75 @@ def delimited_roundtrip(sf_dir: str) -> "pd.DataFrame":
     return out
 
 
+def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
+    """S1 source-format breadth: JSON-lines ingest. The sf dir ships
+    parquet, so a sharded jsonl fixture is derived from `events` once
+    per sf dir (values pre-converted to integer cents so the text
+    round-trip is exact — no float-printing precision hazard), then
+    ingested back with ``ray.data.read_json`` streaming blocks over the
+    shard glob and aggregated per event_type. The oracle recomputes
+    the same aggregate from the parquet, value-checking the whole
+    json-read path."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from lakecdc.qutil import read_small
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lakecdc_jsonl_{tag}"
+    if not os.path.isdir(d) or len(os.listdir(d)) != n_shards:
+        ev = read_small(
+            sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+        ).to_pandas()
+        ev["value_cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+        ev = ev.drop(columns=["value"])
+        os.makedirs(d + ".tmp", exist_ok=True)
+        for s in range(n_shards):
+            ev[ev["event_id"] % n_shards == s].to_json(
+                os.path.join(d + ".tmp", f"shard-{s}.jsonl"),
+                orient="records",
+                lines=True,
+            )
+        os.rename(d + ".tmp", d)
+
+    ds = rd.read_json([os.path.join(d, f"shard-{s}.jsonl") for s in range(n_shards)])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+            }
+        )
+
+    import pandas as pd  # noqa: F811
+    from ray.data.aggregate import Count, Sum
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(len(g))],
+                "sum_value_cents": [np.int64(g["value_cents"].sum())],
+                "n_users": [np.int64(g["user_id"].nunique())],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n", "sum_value_cents", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def drop_and_count_invalid(ds: rd.Dataset) -> tuple[rd.Dataset, int]:
     """Split the permissively-parsed stream: valid rows stream on,
     invalid rows are COUNTED (never silently lost). The validated

@@ -184,6 +184,7 @@ QUERIES: dict[str, Callable] = {
     "union_distinct_keys": q.union_distinct_keys,
     "union_provenance": q.union_provenance,
     "delimited_ingest": delimited.delimited_roundtrip,
+    "json_ingest": delimited.json_roundtrip,  # JSON-lines source breadth
     # --- CDC semantics over the events stream ---
     "cdc_lww_state": q.cdc_lww_state,
     "cdc_partial_state": q.cdc_partial_state,
@@ -373,6 +374,9 @@ _DRIVER_EXCLUDED = {
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
+    "json_ingest",  # (delimited_ingest: the S1 source-format rep with the
+    #  harder permissive-parse semantics; the jsonl path is
+    #  SQL-value-checked every pytest run)
     "grouped_quantiles",  # (quantiles: same distributed-histogram machinery
     #  driver-checked globally; the per-group variant is SQL-value-checked
     #  every pytest run)
@@ -575,6 +579,12 @@ ORACLES: dict[str, str] = {
         FROM customer
         WHERE c_custkey % 97 <> 0 AND c_custkey % 101 <> 0
         GROUP BY 1
+    """,
+    "json_ingest": f"""
+        SELECT event_type, COUNT(*) AS n,
+               {_s(_c('value'))} AS sum_value_cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
     """,
     "cdc_lww_state": f"""
         SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
