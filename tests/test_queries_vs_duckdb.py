@@ -428,3 +428,36 @@ def test_ann_verified_twins_equal_brute_force():
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), base.reset_index(drop=True)
         )
+
+
+def test_token_budget_mix_multi_bucket_prune():
+    """With a tiny bucket_width every source spans MANY id-buckets, so
+    the distributed prefix sum crosses bucket boundaries and buckets
+    whose offset is already over budget take the emit-nothing branch —
+    paths the default width never exercises at test scale. Result must
+    be identical to the single-bucket plan (and to a pandas replay)."""
+    import pandas as pd
+
+    from lakecdc import text as t
+    from lakecdc.qutil import read_small
+
+    wide = t.token_budget_mix(SF_DIR, budget=300, bucket_width=1 << 40)
+    narrow = t.token_budget_mix(SF_DIR, budget=300, bucket_width=8)
+    pd.testing.assert_frame_equal(wide, narrow)
+
+    docs = read_small(SF_DIR, "documents", ["doc_id", "text", "source"]).to_pandas()
+    docs["n_tokens"] = (
+        docs["text"].str.strip().str.split(r"\s+", regex=True).str.len().astype("int64")
+    )
+    docs = docs.sort_values("doc_id")
+    docs["cum_before"] = (
+        docs.groupby("source")["n_tokens"].cumsum() - docs["n_tokens"]
+    )
+    want = (
+        docs[docs["cum_before"] < 300][["doc_id", "source", "n_tokens", "cum_before"]]
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_tokens": "int64", "cum_before": "int64"})
+    )
+    pd.testing.assert_frame_equal(narrow.reset_index(drop=True), want)
+    # the budget must actually bind at this scale, or the test is vacuous
+    assert len(want) < len(docs)
