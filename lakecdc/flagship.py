@@ -140,6 +140,32 @@ def _write_events_wal(sf_dir: str, work_root: str | None, tag_prefix: str) -> En
     return cfg
 
 
+def matview_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
+    """Driver-oracle-checkable INCREMENTAL MATERIALIZED VIEW: apply the
+    events-derived WAL epoch BY epoch, refreshing the per-source
+    (n_docs, total_tokens) view after every epoch through
+    lakecdc.matview.refresh — the O(changed-partitions) maintenance
+    path with chain-signature reuse, never a full recompute — and
+    return the final view. The SQL oracle recomputes it from the LWW
+    winners (n_tok = lsn % 17 + 1, source = 'ev'||epoch for winners in
+    evolution epochs). The matview's incremental == full-recompute and
+    crash-redo properties are pytest-checked (tests/test_matview.py);
+    this externally value-checks the maintained view's final content.
+    Reference analogue: the per-office breakdown recomputed after every
+    combine (combine_csv.py:78-82), maintained incrementally."""
+    from lakecdc.apply import apply_epoch
+    from lakecdc.matview import read_view, refresh
+
+    cfg = _write_events_wal(sf_dir, work_root, "matview")
+    for e in range(4):
+        apply_epoch(cfg, e)
+        refresh(cfg)
+    out = read_view(cfg)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def resume_compact_from_events(sf_dir: str, work_root: str | None = None) -> pd.DataFrame:
     """Driver-oracle-checkable CRASH-RESUME + COMPACTION + VACUUM: run
     the engine on the events-derived WAL, but crash it mid-stream —
