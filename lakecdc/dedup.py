@@ -845,3 +845,70 @@ def embedding_near_dup(
 
     out = ds.map_batches(tile, batch_format="pyarrow", batch_size=1)
     return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_ivf(
+    sf_dir: str, threshold: float = 0.38, n_cells: int = 16, seed: int = 42
+) -> pd.DataFrame:
+    """IVF-bucketed embedding near-dup — the SUB-QUADRATIC scale path
+    of the embedding-dedup family (IVF : cosine :: LSH : Jaccard, the
+    SemDeDup shape): vectors are k-means-assigned to cells by the
+    memory-bounded streaming builder (ann.build_ivf_cells_streaming —
+    the driver never holds the corpus; each cell is a list of
+    object-store shard refs), then ONE task per cell fetches exactly
+    its own shards and emits that cell's within-cell pairs. Work is
+    O(sum n_c^2) instead of O(N^2); recall < 1 because a pair split
+    across a cell boundary is missed (asserted >= floor in pytest vs
+    the exact path). With n_cells=1 every vector lands in one cell and
+    the output EQUALS exact brute force — the verified twin
+    (embedding_near_dup_ivf_verified) shares embedding_near_dup's SQL
+    oracle on that configuration."""
+    from lakecdc import ann
+
+    cent, cells = ann.build_ivf_cells_streaming(
+        sf_dir, n_cells=n_cells, seed=seed
+    )
+    ds = rd.from_items([{"c": int(c)} for c in sorted(cells)])
+    _EMPTY = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cos_e6": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def cell_pairs(batch: pa.Table) -> pa.Table:
+        outs = [_EMPTY]
+        for c in batch["c"].to_pylist():
+            parts = ray.get(cells[c])
+            ids = np.concatenate([p[0] for p in parts])
+            V = np.concatenate([p[1] for p in parts])
+            sims = V @ V.T
+            a_idx, b_idx = np.nonzero(sims >= threshold)
+            a_ids, b_ids = ids[a_idx], ids[b_idx]
+            keep = a_ids < b_ids
+            outs.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(a_ids[keep], type=pa.int64()),
+                        "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+                        "cos_e6": pa.array(
+                            np.floor(
+                                sims[a_idx[keep], b_idx[keep]] * 1e6 + 0.5
+                            ).astype(np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = ds.map_batches(cell_pairs, batch_format="pyarrow", batch_size=1)
+    return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_ivf_verified(sf_dir: str) -> pd.DataFrame:
+    """n_cells=1: the IVF machinery (streaming build, shard fetch,
+    within-cell matmul) degenerates to exact all-pairs, so this twin
+    value-checks the identical code against embedding_near_dup's SQL
+    oracle."""
+    return embedding_near_dup_ivf(sf_dir, threshold=0.38, n_cells=1)

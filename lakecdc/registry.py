@@ -246,6 +246,10 @@ QUERIES: dict[str, Callable] = {
     # (md5_number_upper == md5 digest's first 8 bytes little-endian)
     "simhash_verified": lambda sf: dedup.simhash_fingerprints(sf, hash_backend="md5"),
     "embedding_near_dup": lambda sf: dedup.embedding_near_dup(sf, threshold=0.38),
+    # IVF-bucketed scale path (SemDeDup shape): within-cell pairs only
+    "embedding_near_dup_ivf": dedup.embedding_near_dup_ivf,  # rows-only
+    # n_cells=1 degenerates to exact all-pairs: shares the exact oracle
+    "embedding_near_dup_ivf_verified": dedup.embedding_near_dup_ivf_verified,
     # --- mergeable sketches (approximate: accuracy pinned in pytest) ---
     "hll_distinct": sketch.hll_distinct,  # rows-only
     "kmv_distinct": sketch.kmv_distinct,  # rows-only
@@ -379,6 +383,10 @@ _DRIVER_EXCLUDED = {
     "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
     #  machinery value-checked by the driver; the gate's delta variant
     #  is SQL-checked every pytest run)
+    "embedding_near_dup_ivf",  # approximate by construction (cell-boundary
+    #  misses); recall floor asserted in pytest vs the exact path
+    "embedding_near_dup_ivf_verified",  # (embedding_near_dup: same exact
+    #  oracle already driver-checked; the twin is SQL-checked in pytest)
     "collapse_dedup_sum",  # (A3 is the kept grouped_sum's two-phase plan on a
     #  composite key — driver-green r01/r02, demoted to pytest-only to fund
     #  the cdc_matview engine-surface slot)
@@ -1360,3 +1368,7 @@ ORACLES["ann_lsh_verified"] = ORACLES["ann_topk"]
 # Crash-resume + compaction + vacuum must converge to the clean run's
 # exact state — the query shares the full-engine LWW replay verbatim.
 ORACLES["cdc_resume_compact"] = ORACLES["cdc_apply_events"]
+
+# With one cell the IVF near-dup path IS exact all-pairs — the twin
+# shares the exact cosine-pair oracle verbatim.
+ORACLES["embedding_near_dup_ivf_verified"] = ORACLES["embedding_near_dup"]

@@ -461,3 +461,19 @@ def test_token_budget_mix_multi_bucket_prune():
     pd.testing.assert_frame_equal(narrow.reset_index(drop=True), want)
     # the budget must actually bind at this scale, or the test is vacuous
     assert len(want) < len(docs)
+
+
+def test_embedding_ivf_neardup_recall_and_containment():
+    """The IVF-bucketed near-dup path must emit only TRUE pairs (every
+    within-cell similarity is exact — containment in the exact pair
+    set) and find a reasonable fraction of them (cell-boundary misses
+    bound recall below 1)."""
+    from lakecdc import dedup
+
+    exact = dedup.embedding_near_dup(SF_DIR, threshold=0.38)
+    approx = dedup.embedding_near_dup_ivf(SF_DIR, threshold=0.38, n_cells=8)
+    ex = set(zip(exact["vec_a"], exact["vec_b"]))
+    ap = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert ap <= ex  # containment: no false pairs, ever
+    if ex:
+        assert len(ap) / len(ex) >= 0.3  # recall floor at 8 cells
