@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
         "lookup", "changelog", "refresh-view", "diff", "index",
-        "search-token", "relay", "dupindex", "neardup",
+        "search-token", "relay", "dupindex", "neardup", "quarantine",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -306,6 +306,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ds.count()
             print(json.dumps({"events": int(n)}))
+        elif args.cmd == "quarantine":
+            from lakecdc import wal as wal_mod
+
+            counts = wal_mod.quarantine_epochs(cfg)
+            print(
+                json.dumps(
+                    {
+                        "quarantined": {str(e): n for e, n in sorted(counts.items())},
+                        "total": sum(counts.values()),
+                    }
+                )
+            )
         elif args.cmd == "diff":
             from lakecdc.diff import diff_snapshots
 

@@ -97,3 +97,74 @@ def read_changelog(
         return t.filter(mask).sort_by("lsn")
 
     return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quarantine_dir(cfg: EngineConfig, epoch: int) -> str:
+    return os.path.join(cfg.root, "quarantine", f"epoch={epoch:09d}")
+
+
+def quarantine_epochs(
+    cfg: EngineConfig, epochs: list[int] | None = None
+) -> dict[int, int]:
+    """Dead-letter quarantine: persist every INVALID event of the given
+    (default: all) WAL epochs to ``<root>/quarantine/epoch=E/`` parquet
+    — upgrading F5's "counted drops" (lineage ``rows_invalid``) to
+    counted AND preserved, so malformed events can be inspected and
+    re-submitted after repair instead of being reconstructable only
+    from the WAL. Validation criteria are exactly the apply path's
+    (the shared validation mask), the write streams (one filtered
+    changelog pass per epoch, never a driver materialize), and the
+    temp-dir + rename discipline of diff.relay makes it exactly-once:
+    a completed epoch directory short-circuits on re-run, a crashed
+    one is re-emitted identically. Returns {epoch: n_quarantined}.
+    """
+    import re
+    import shutil
+
+    import pyarrow.compute as pc  # noqa: F401  (parity with read_changelog)
+
+    base = os.path.join(cfg.root, "quarantine")
+    os.makedirs(base, exist_ok=True)
+    epoch_re = re.compile(r"^epoch=(\d+)$")
+    done = set()
+    for d in glob.glob(os.path.join(base, "epoch=*")):
+        m = epoch_re.match(os.path.basename(d))
+        if m:
+            done.add(int(m.group(1)))
+        elif ".tmp." in os.path.basename(d):
+            shutil.rmtree(d, ignore_errors=True)
+    out: dict[int, int] = {}
+    for e in epochs if epochs is not None else list_epochs(cfg):
+        final = quarantine_dir(cfg, e)
+        if e in done:
+            out[e] = _count_parquet_rows(final)
+            continue
+        bad = read_changelog(
+            cfg, from_epoch=e, to_epoch=e, include_invalid=True
+        ).filter(expr="_invalid == True")
+        tmp = final + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        bad.drop_columns(["_invalid"]).write_parquet(tmp)
+        os.rename(tmp, final)
+        out[e] = _count_parquet_rows(final)
+    return out
+
+
+def _count_parquet_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+
+
+def read_quarantine(cfg: EngineConfig, epoch: int) -> rd.Dataset:
+    """Stream one epoch's quarantined (invalid) events back — e.g. for
+    repair-and-resubmit."""
+    files = sorted(glob.glob(os.path.join(quarantine_dir(cfg, epoch), "*.parquet")))
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    if not files:
+        return rd.from_arrow(WAL_SCHEMA_V1.empty_table())
+    return rd.read_parquet(files)

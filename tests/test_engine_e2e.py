@@ -399,3 +399,43 @@ def test_combiner_bounds_hot_key_shuffle_rows(tmp_root):
     out = make_prep_fn(cfg.num_buckets)(batch)
     post = hot_key_stats(out, threshold=1)
     assert post["max_multiplicity"] == 1  # ≤1 row per key reaches the shuffle
+
+
+def test_quarantine_preserves_invalid_events(tmp_root):
+    """Dead-letter quarantine: invalid events are counted in lineage
+    AND preserved byte-complete in quarantine/epoch=E/ — quarantined
+    counts equal lineage rows_invalid per epoch, quarantined + valid
+    == every WAL event, re-running is a no-op (exactly-once), and the
+    applied lake is unaffected."""
+    import glob as _glob
+
+    from lakecdc import wal as wal_mod
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3, p_invalid=0.1)
+    lg = apply_all(cfg).to_pandas()
+    counts = wal_mod.quarantine_epochs(cfg)
+    per_epoch_invalid = lg.groupby("epoch")["rows_invalid"].sum().to_dict()
+    assert counts == {int(e): int(n) for e, n in per_epoch_invalid.items()}
+    assert sum(counts.values()) > 0  # the fixture must actually exercise it
+
+    for e in wal_mod.list_epochs(cfg):
+        n_bad = wal_mod.read_quarantine(cfg, e).count()
+        n_valid = wal_mod.read_changelog(cfg, from_epoch=e, to_epoch=e).count()
+        n_all = wal_mod.read_segment(cfg, e).count()
+        assert n_bad + n_valid == n_all
+        # quarantined rows re-read with the WAL schema (repair surface)
+        df = wal_mod.read_quarantine(cfg, e).to_pandas()
+        assert set(df.columns) >= {"lsn", "op", "doc_id", "tokens", "n_tok"}
+
+    # exactly-once: a second run short-circuits to identical counts and
+    # does not duplicate any file
+    files_before = sorted(_glob.glob(os.path.join(cfg.root, "quarantine", "**", "*"),
+                                     recursive=True))
+    assert wal_mod.quarantine_epochs(cfg) == counts
+    files_after = sorted(_glob.glob(os.path.join(cfg.root, "quarantine", "**", "*"),
+                                    recursive=True))
+    assert files_before == files_after
+
+    # lake untouched by quarantining
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
