@@ -144,6 +144,9 @@ def quarantine_epochs(
         ).filter(expr="_invalid == True")
         tmp = final + f".tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
+        # pre-create: an all-valid epoch writes zero files, and the
+        # empty committed dir must still exist to short-circuit reruns
+        os.makedirs(tmp)
         bad.drop_columns(["_invalid"]).write_parquet(tmp)
         os.rename(tmp, final)
         out[e] = _count_parquet_rows(final)
@@ -168,3 +171,29 @@ def read_quarantine(cfg: EngineConfig, epoch: int) -> rd.Dataset:
     if not files:
         return rd.from_arrow(WAL_SCHEMA_V1.empty_table())
     return rd.read_parquet(files)
+
+
+def resubmit_epoch(cfg: EngineConfig, table) -> int:
+    """Append an event table as the NEXT WAL epoch — the resubmit half
+    of the dead-letter flow (quarantine -> repair -> resubmit): events
+    keep their original LSNs, so a repaired event re-enters the normal
+    LWW order and only wins keys with no later writer — late repairs
+    can never clobber newer data. Atomic: written under a dot-prefixed
+    temp name that the ``epoch=*`` discovery glob cannot match, then
+    renamed into place."""
+    import pyarrow.parquet as pq
+
+    from lakecdc.evolve import conform
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    existing = list_epochs(cfg)
+    e = (max(existing) + 1) if existing else 0
+    final = epoch_dir(cfg, e)
+    tmp = os.path.join(cfg.wal_dir, f".tmp.epoch{e}.{os.getpid()}")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(conform(table, WAL_SCHEMA_V1), os.path.join(tmp, "seg-0.parquet"))
+    os.rename(tmp, final)
+    return e

@@ -439,3 +439,53 @@ def test_quarantine_preserves_invalid_events(tmp_root):
 
     # lake untouched by quarantining
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_quarantine_repair_resubmit_roundtrip(tmp_root):
+    """The full dead-letter loop: quarantine the invalid events, repair
+    them (bad op code -> upsert, null tokens -> empty list), resubmit
+    as a NEW epoch with their ORIGINAL LSNs, re-apply — the lake must
+    equal the oracle replay of the extended WAL, i.e. a repaired event
+    wins exactly the keys where its LSN is still the newest."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lakecdc import wal as wal_mod
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3, p_invalid=0.15)
+    apply_all(cfg)
+    wal_mod.quarantine_epochs(cfg)
+
+    bad = pd.concat(
+        [wal_mod.read_quarantine(cfg, e).to_pandas() for e in wal_mod.list_epochs(cfg)],
+        ignore_index=True,
+    )
+    assert len(bad) > 0
+    # repair: normalize op codes, give token-less upserts an empty list
+    bad["op"] = np.where(
+        bad["op"].isin(["insert", "update", "delete", "upsert"]), bad["op"], "upsert"
+    )
+    fixed_tokens = [
+        t if t is not None and not (isinstance(t, float)) else np.array([], dtype="int32")
+        for t in bad["tokens"]
+    ]
+    repaired = pa.table(
+        {
+            "lsn": pa.array(bad["lsn"].astype("int64")),
+            "op": pa.array(bad["op"].astype(str)),
+            "doc_id": pa.array(bad["doc_id"].astype(str)),
+            "tokens": pa.array(fixed_tokens, type=pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(t) for t in fixed_tokens], type=pa.int32()
+            ),
+            "source": pa.array(bad["source"].where(bad["source"].notna(), None)),
+        }
+    )
+    e_new = wal_mod.resubmit_epoch(cfg, repaired)
+    assert e_new == 3
+    apply_all(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    # and the resubmitted epoch itself must now validate clean
+    n_still_bad = wal_mod.quarantine_epochs(cfg, [e_new])[e_new]
+    assert n_still_bad == 0
