@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         "apply", "compact", "vacuum", "show", "verify", "validate",
         "lookup", "changelog", "refresh-view", "diff", "index",
         "search-token", "relay", "dupindex", "neardup", "quarantine",
+        "forget",
     ):
         s = sub.add_parser(name)
         s.add_argument("--root", required=True)
@@ -75,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "lookup":
             s.add_argument("--ids", required=True, help="comma-separated doc_ids")
             s.add_argument("--as-of", type=int, default=None, dest="as_of")
+        if name == "forget":
+            s.add_argument("--ids", required=True, help="comma-separated doc_ids")
+            s.add_argument(
+                "--keep-files", action="store_true", dest="keep_files",
+                help="logical deletion only: skip the physical-erasure vacuum",
+            )
         if name == "changelog":
             s.add_argument("--from-epoch", type=int, default=None, dest="from_epoch")
             s.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
@@ -306,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             n = ds.count()
             print(json.dumps({"events": int(n)}))
+        elif args.cmd == "forget":
+            from lakecdc.forget import assert_forgotten, forget
+
+            ids = args.ids.split(",")
+            res = forget(cfg, ids, vacuum_files=not args.keep_files)
+            if not args.keep_files:
+                assert_forgotten(cfg, ids)
+                res["erasure_audit"] = "passed"
+            print(json.dumps(res))
         elif args.cmd == "quarantine":
             from lakecdc import wal as wal_mod
 

@@ -1,0 +1,84 @@
+"""Right-to-be-forgotten: auditable, physically-complete deletion of
+specific doc_ids.
+
+Erasure requests flow through the NORMAL change path — one tombstone
+event per doc_id, LSNs above the lake's committed watermark, written
+as a regular WAL epoch (``wal.resubmit_epoch``) and applied like any
+other change — so the deletion is ordered, replayable and visible in
+lineage like every other write. Logical deletion alone leaves the
+payload bytes in older lake files (time travel) and the tombstone rows
+in the current ones; ``forget`` therefore finishes with compaction
+(drops the tombstones: their LSN <= the new watermark) and a
+``retain_epochs=0`` vacuum (deletes every superseded file), after
+which NO lake file contains the forgotten doc_ids — verified
+byte-level in tests. The WAL itself still holds the original events
+(it is the upstream source, not this engine's storage); callers with
+WAL custody apply their own retention there.
+
+Trade-off made explicit: the full-erasure vacuum forfeits lake time
+travel to epochs before the sweep — exactly the same trade every
+lakehouse "hard delete" makes.
+
+Reference analogue: the reference has no deletion story at all;
+this is the tombstone semantics of the north rule carried to its
+operational conclusion.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+from lakecdc import manifest, wal
+from lakecdc.config import EngineConfig
+
+
+def forget(
+    cfg: EngineConfig, doc_ids: list[str], vacuum_files: bool = True
+) -> dict:
+    """Delete ``doc_ids`` from the lake. Returns
+    {"epoch", "n_requested", "files_deleted"}.
+
+    Steps: tombstone WAL epoch (original-order-safe: LSNs start past
+    the committed watermark) -> apply -> compact (tombstones dropped)
+    -> vacuum (superseded files physically removed;
+    ``vacuum_files=False`` keeps them, i.e. logical-only deletion).
+    """
+    from lakecdc.apply import apply_all
+    from lakecdc.compact import compact, vacuum
+
+    snap = manifest.snapshot(cfg)
+    hi = max((r["lsn_watermark"] for r in snap.values()), default=0)
+    ids = sorted(set(str(d) for d in doc_ids))
+    n = len(ids)
+    tomb = pa.table(
+        {
+            "lsn": pa.array(range(hi + 1, hi + 1 + n), type=pa.int64()),
+            "op": pa.array(["delete"] * n),
+            "doc_id": pa.array(ids),
+            "tokens": pa.nulls(n, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([0] * n, type=pa.int32()),
+            "source": pa.nulls(n, type=pa.string()),
+        }
+    )
+    epoch = wal.resubmit_epoch(cfg, tomb)
+    apply_all(cfg)
+    compact(cfg)
+    deleted: list[str] = []
+    if vacuum_files:
+        deleted = vacuum(cfg, retain_epochs=0)
+    return {"epoch": epoch, "n_requested": n, "files_deleted": len(deleted)}
+
+
+def assert_forgotten(cfg: EngineConfig, doc_ids: list[str]) -> None:
+    """Byte-level erasure audit: no surviving lake file may contain any
+    of the doc_ids. Raises AssertionError with the offending file."""
+    import pyarrow.parquet as pq
+
+    wanted = set(str(d) for d in doc_ids)
+    for f in glob.glob(os.path.join(cfg.lake_dir, "part=*", "epoch=*", "*.parquet")):
+        col = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        hit = wanted & set(col)
+        assert not hit, f"{f} still contains forgotten doc_ids {sorted(hit)[:5]}"

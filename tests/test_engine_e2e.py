@@ -489,3 +489,33 @@ def test_quarantine_repair_resubmit_roundtrip(tmp_root):
     # and the resubmitted epoch itself must now validate clean
     n_still_bad = wal_mod.quarantine_epochs(cfg, [e_new])[e_new]
     assert n_still_bad == 0
+
+
+def test_forget_erases_docs_physically(tmp_root):
+    """Right-to-be-forgotten: forgotten doc_ids disappear from the
+    live lake AND from every surviving lake file (byte-level audit);
+    the remaining state equals the oracle replay of the extended WAL
+    (tombstones are ordinary ordered events); point lookups miss."""
+    from lakecdc.forget import assert_forgotten, forget
+    from lakecdc.lake import lookup
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_all(cfg)
+    live = read_lake_local(cfg)
+    victims = sorted(live["doc_id"])[:5]
+    assert victims
+
+    res = forget(cfg, victims)
+    assert res["n_requested"] == 5 and res["files_deleted"] > 0
+
+    after = read_lake_local(cfg)
+    assert not set(victims) & set(after["doc_id"])
+    assert_forgotten(cfg, victims)
+    assert lookup(cfg, victims).empty
+    # remaining state == oracle over WAL + tombstone epoch
+    oracle.assert_lake_equals_oracle(after, oracle.replay(cfg.wal_dir))
+    # idempotent: forgetting again changes nothing
+    again = forget(cfg, victims)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    assert_forgotten(cfg, victims)
