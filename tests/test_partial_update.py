@@ -301,3 +301,25 @@ def test_partial_fold_is_associative(events):
         )
     )
     assert live_view(whole).to_pylist() == live_view(two).to_pylist()
+
+
+def test_forget_on_partial_engine(tmp_root):
+    """Right-to-be-forgotten over a partial-update lake: tombstones
+    flow through the per-field LWW fold with delete fencing; after
+    compact+vacuum no surviving file holds the ids and the remaining
+    live view equals the partial replay oracle on the extended WAL."""
+    from lakecdc.forget import assert_forgotten, forget
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3)
+    apply_all(cfg)
+    live = read_lake_local(cfg)
+    victims = sorted(live["doc_id"])[:4]
+    res = forget(cfg, victims)
+    assert res["n_requested"] == 4
+
+    after = read_lake_local(cfg)
+    assert not set(victims) & set(after["doc_id"])
+    assert_forgotten(cfg, victims)
+    want = oracle.replay_partial(cfg.wal_dir)
+    oracle.assert_lake_equals_oracle(after, want)
