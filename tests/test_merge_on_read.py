@@ -237,3 +237,29 @@ def test_maybe_compact_bounds_chain_length(tmp_root):
     oracle.assert_lake_equals_oracle(
         read_lake_local(cfg), oracle.replay(cfg.wal_dir)
     )
+
+
+def test_vacuum_collects_crash_orphan_files(tmp_root):
+    """A crash between a partition's data-file write and its manifest
+    commit leaves an orphan parquet in the lake layout. It must never
+    be read (only manifest-referenced files are) and vacuum must
+    collect it — with ANY retention window, since no as-of view
+    references it — leaving every readable state untouched."""
+    import shutil
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3)
+    apply_all(cfg)
+    want = oracle.replay(cfg.wal_dir)
+
+    some = lake_files(cfg)[0]
+    orphan = os.path.join(os.path.dirname(some), "part-99999-orphan.parquet")
+    shutil.copyfile(some, orphan)
+
+    # unreferenced -> invisible to reads
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), want)
+    # collected even under the most conservative retention
+    deleted = vacuum(cfg, retain_epochs=10_000)
+    assert any(os.path.basename(d) == os.path.basename(orphan) for d in deleted)
+    assert not os.path.exists(orphan)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
