@@ -141,7 +141,9 @@ def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
     ingested back with ``ray.data.read_json`` streaming blocks over the
     shard glob and aggregated per event_type. The oracle recomputes
     the same aggregate from the parquet, value-checking the whole
-    json-read path."""
+    json-read path. (The driver-side fixture derivation is TEST
+    PLUMBING at bench scale — the measured operator is the distributed
+    read_json -> aggregate; real jsonl corpora arrive pre-sharded.)"""
     import hashlib
     import os
 

@@ -30,6 +30,7 @@ import glob
 import os
 
 import pyarrow as pa
+import ray
 
 from lakecdc import manifest, wal
 from lakecdc.config import EngineConfig
@@ -74,11 +75,24 @@ def forget(
 
 def assert_forgotten(cfg: EngineConfig, doc_ids: list[str]) -> None:
     """Byte-level erasure audit: no surviving lake file may contain any
-    of the doc_ids. Raises AssertionError with the offending file."""
+    of the doc_ids. One Ray task per file (doc_id column only leaves
+    storage), so the audit parallelizes across the cluster instead of
+    serializing through the driver. Raises AssertionError naming the
+    offending files."""
+    wanted = sorted(set(str(d) for d in doc_ids))
+    files = glob.glob(os.path.join(cfg.lake_dir, "part=*", "epoch=*", "*.parquet"))
+    ref = ray.put(wanted)
+    hits = ray.get([_scan_file.remote(f, ref) for f in files])
+    bad = [h for h in hits if h]
+    assert not bad, f"files still contain forgotten doc_ids: {bad[:5]}"
+
+
+@ray.remote
+def _scan_file(path: str, wanted: list[str]) -> str | None:
+    # `wanted` arrives via a shared ray.put ref (auto-dereferenced), so
+    # the id list ships to the cluster once, not once per task.
     import pyarrow.parquet as pq
 
-    wanted = set(str(d) for d in doc_ids)
-    for f in glob.glob(os.path.join(cfg.lake_dir, "part=*", "epoch=*", "*.parquet")):
-        col = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
-        hit = wanted & set(col)
-        assert not hit, f"{f} still contains forgotten doc_ids {sorted(hit)[:5]}"
+    col = pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
+    hit = set(wanted) & set(col)
+    return f"{path}: {sorted(hit)[:5]}" if hit else None
