@@ -102,6 +102,20 @@ _WINNOW_SQL = f"""{_WINNOW_FP_CTE},
     FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
+# Content-defined chunking: cut positions = gram hashes divisible by
+# 64, over the SAME rolling-hash CTE (mh) as winnowing.
+_CHUNKING_SQL = f"""{_WINNOW_FP_CTE},
+    cuts AS (SELECT doc_id, COUNT(*) AS n_cuts,
+                    SUM(p) AS cut_pos_sum, MIN(p) AS first_cut
+             FROM mh WHERE h % 64 = 0 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(c.n_cuts, 0) + 1 AS BIGINT) AS n_chunks,
+           CAST(COALESCE(c.cut_pos_sum, 0) AS BIGINT) AS cut_pos_sum,
+           CAST(COALESCE(c.first_cut, 0) AS BIGINT) AS first_cut
+    FROM documents d LEFT JOIN cuts c USING (doc_id)
+"""
+
 # Contamination scan: corpus docs sharing winnowing fingerprints with
 # the probe set (the 8 smallest doc_ids — text.contamination_check's
 # deterministic stand-in for benchmark texts).
@@ -270,6 +284,9 @@ QUERIES: dict[str, Callable] = {
     "ann_lsh_verified": ann.ann_lsh_verified,
     "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
     "contamination_check": text.contamination_check,  # probe-set decontamination
+    # Rabin-style content-defined chunking (storage-dedup cut points),
+    # same rolling-hash kernel, SQL-replayed below
+    "content_chunking": text.content_chunking,
     # iterative ML: distributed integer k-means — no SQL oracle
     # (iterative), bit-identical to a single-process replay in pytest
     "kmeans_embeddings": cluster.kmeans_embeddings,
@@ -407,6 +424,8 @@ _DRIVER_EXCLUDED = {
     "bottomk_sample",
     "weighted_sample",
     "stratified_sample",
+    "content_chunking",  # (winnowing_fingerprints: driver-checks the same
+    #  rolling-hash kernel; the mod-divisor cut rule is SQL-checked in pytest)
     "contamination_check",  # (winnowing_fingerprints: driver-checks the
     #  same fingerprint kernel; the probe-join composition is
     #  SQL-value-checked every pytest run)
@@ -1070,6 +1089,7 @@ ORACLES: dict[str, str] = {
     # m <= window whole-doc-min branch), distinct sorted hex join.
     "winnowing_fingerprints": _WINNOW_SQL,
     "contamination_check": _CONTAMINATION_SQL,
+    "content_chunking": _CHUNKING_SQL,
     # SQL LWW replay of the full engine run in run_flagship_from_events
     # (see its docstring for the shared derivation). The last event per
     # doc_id by lsn wins; deletes tombstone; pre-evolution epochs (0-1)

@@ -245,12 +245,10 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(31))
 
 
-def _winnow_doc(
-    text: str, k: int = 4, window: int = 5, base: int = 1099511628211
-) -> np.ndarray:
-    """One document's winnowing fingerprint set (sorted unique uint64
-    selections) — the vectorized kernel shared by
-    winnowing_fingerprints and contamination_check."""
+def _gram_hashes(text: str, k: int, base: int) -> np.ndarray:
+    """All k-gram rolling hashes of a document (uint64 polynomial +
+    splitmix64), one per start position — the kernel under winnowing,
+    contamination scan and content-defined chunking."""
     ubase = np.uint64(base)
     b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
     m = len(b) - k + 1
@@ -259,7 +257,19 @@ def _winnow_doc(
     h = np.zeros(m, dtype=np.uint64)
     for j in range(k):  # k tiny, each step vectorized over all grams
         h = h * ubase + b[j : j + m]
-    h = _mix64(h)
+    return _mix64(h)
+
+
+def _winnow_doc(
+    text: str, k: int = 4, window: int = 5, base: int = 1099511628211
+) -> np.ndarray:
+    """One document's winnowing fingerprint set (sorted unique uint64
+    selections) — the vectorized kernel shared by
+    winnowing_fingerprints and contamination_check."""
+    h = _gram_hashes(text, k, base)
+    m = len(h)
+    if m < 1:
+        return np.empty(0, dtype=np.uint64)
     if m <= window:
         sel = h.min(keepdims=True)
     else:
@@ -626,3 +636,42 @@ def token_budget_mix(
     )
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return df.astype({c: "int64" for c in ["doc_id", "n_tokens", "cum_before"]})
+
+
+def content_chunking(
+    sf_dir: str, k: int = 4, divisor: int = 64, base: int = 1099511628211
+) -> pd.DataFrame:
+    """Content-defined chunking (Rabin-style): cut each document where
+    the k-gram rolling hash satisfies ``h % divisor == 0`` — boundaries
+    move with the CONTENT, so an insertion reshuffles only nearby
+    chunks (the storage-dedup property fixed-size chunking lacks;
+    average chunk length ~= divisor bytes). Same vectorized hash
+    kernel as winnowing (_gram_hashes); no per-character Python.
+
+    Output integer digests per doc — cut count/chunk count (a doc
+    shorter than k is one chunk), the 1-based position sum and first
+    cut — exactly replayable by extending the winnowing SQL CTE with
+    the mod-divisor predicate.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    D = np.uint64(divisor)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n_cuts, pos_sum, first = [], [], []
+        for text in batch["text"]:
+            h = _gram_hashes(text, k, base)
+            cuts = np.nonzero(h % D == np.uint64(0))[0] + 1  # 1-based like the SQL
+            n_cuts.append(len(cuts))
+            pos_sum.append(int(cuts.sum()))
+            first.append(int(cuts[0]) if len(cuts) else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_cuts": np.asarray(n_cuts, dtype=np.int64),
+                "n_chunks": np.asarray(n_cuts, dtype=np.int64) + 1,
+                "cut_pos_sum": np.asarray(pos_sum, dtype=np.int64),
+                "first_cut": np.asarray(first, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=512).to_pandas()
