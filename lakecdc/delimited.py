@@ -152,7 +152,16 @@ def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
 
     from lakecdc.qutil import read_small
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    import shutil
+
+    from lakecdc.qutil import table_path
+
+    # Cache tag covers the CONTENT, not just the path: a regenerated sf
+    # dataset (same path, new bytes) must invalidate the jsonl fixture.
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    fp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|{n_shards}"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     d = f"/tmp/lakecdc_jsonl_{tag}"
     if not os.path.isdir(d) or len(os.listdir(d)) != n_shards:
         ev = read_small(
@@ -160,14 +169,19 @@ def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
         ).to_pandas()
         ev["value_cents"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
         ev = ev.drop(columns=["value"])
-        os.makedirs(d + ".tmp", exist_ok=True)
+        # pid-unique tmp so concurrent builders never share a staging
+        # dir; stale partial destination removed before the rename
+        tmp = f"{d}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for s in range(n_shards):
             ev[ev["event_id"] % n_shards == s].to_json(
-                os.path.join(d + ".tmp", f"shard-{s}.jsonl"),
+                os.path.join(tmp, f"shard-{s}.jsonl"),
                 orient="records",
                 lines=True,
             )
-        os.rename(d + ".tmp", d)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
 
     ds = rd.read_json([os.path.join(d, f"shard-{s}.jsonl") for s in range(n_shards)])
 

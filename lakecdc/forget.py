@@ -51,7 +51,13 @@ def forget(
     from lakecdc.compact import compact, vacuum
 
     snap = manifest.snapshot(cfg)
-    hi = max((r["lsn_watermark"] for r in snap.values()), default=0)
+    applied_hi = max((r["lsn_watermark"] for r in snap.values()), default=0)
+    # WAL LSNs are globally monotonic across epochs; a written-but-not-
+    # yet-applied epoch can hold LSNs above the APPLIED watermark. The
+    # tombstones must out-order those too, or forget's own apply_all
+    # below would let a pending upsert resurrect (or LSN-collide with)
+    # a victim doc. wal.max_lsn reads parquet metadata only.
+    hi = max(applied_hi, wal.max_lsn(cfg))
     ids = sorted(set(str(d) for d in doc_ids))
     n = len(ids)
     tomb = pa.table(

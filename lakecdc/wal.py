@@ -28,6 +28,30 @@ def list_epochs(cfg: EngineConfig) -> list[int]:
     )
 
 
+def max_lsn(cfg: EngineConfig) -> int:
+    """Highest LSN present in ANY WAL segment — applied or still
+    pending — read from parquet row-group column statistics only (no
+    data pages touched). Used by forget() to place tombstone LSNs past
+    every event already written, not just past the APPLIED watermark:
+    a pending epoch's upsert of a victim doc must not out-order its
+    tombstone."""
+    import pyarrow.parquet as pq
+
+    hi = 0
+    for e in list_epochs(cfg):
+        for f in glob.glob(os.path.join(epoch_dir(cfg, e), "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if "lsn" not in names:
+                continue
+            j = names.index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is not None and st.has_min_max:
+                    hi = max(hi, int(st.max))
+    return hi
+
+
 def read_segment(cfg: EngineConfig, epoch: int) -> rd.Dataset:
     """One epoch's events as a lazy Dataset. Epochs are read one at a
     time so each apply sees a single WAL schema version (evolution
@@ -131,7 +155,9 @@ def quarantine_epochs(
         m = epoch_re.match(os.path.basename(d))
         if m:
             done.add(int(m.group(1)))
-        elif ".tmp." in os.path.basename(d):
+        elif os.path.basename(d).endswith(f".tmp.{os.getpid()}"):
+            # only reap OUR OWN stale tmp dirs — another live process's
+            # pid-suffixed in-progress dir must survive this cleanup
             shutil.rmtree(d, ignore_errors=True)
     out: dict[int, int] = {}
     for e in epochs if epochs is not None else list_epochs(cfg):

@@ -519,3 +519,35 @@ def test_forget_erases_docs_physically(tmp_root):
     again = forget(cfg, victims)
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
     assert_forgotten(cfg, victims)
+
+
+def test_forget_outorders_pending_wal_epochs(tmp_root):
+    """Regression (round-4 ADVICE): a WAL epoch written but NOT yet
+    applied when forget() runs carries LSNs above the APPLIED
+    watermark. Tombstone LSNs must clear those too, or forget's own
+    apply_all resurrects a victim via the pending upsert. Victims are
+    chosen specifically among docs upserted in the pending epoch."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from lakecdc import wal as wal_mod
+    from lakecdc.forget import assert_forgotten, forget
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)  # 3 epochs
+    apply_epoch(cfg, 0)
+    apply_epoch(cfg, 1)  # epoch 2 stays PENDING
+
+    pend = pq.read_table(
+        _glob.glob(os.path.join(wal_mod.epoch_dir(cfg, 2), "*.parquet")),
+        columns=["op", "doc_id"],
+    ).to_pandas()
+    victims = sorted(set(pend.loc[pend["op"] == "upsert", "doc_id"]))[:5]
+    assert victims, "fixture must upsert docs in the pending epoch"
+
+    forget(cfg, victims)  # internally applies epoch 2 then tombstones
+    after = read_lake_local(cfg)
+    assert not set(victims) & set(after["doc_id"]), "pending upsert resurrected a forgotten doc"
+    assert_forgotten(cfg, victims)
+    oracle.assert_lake_equals_oracle(after, oracle.replay(cfg.wal_dir))
