@@ -374,6 +374,52 @@ def test_ivf_streaming_build_is_sharded():
     assert 0 < len(idx.cells.cache) <= 2
 
 
+def test_lsh_streaming_build_is_sharded():
+    """The streaming LSH builder (round-4) never returns corpus-scale
+    driver state: hyperplanes + occupied-code list + a dict of
+    per-bucket object-ref LISTS covering the corpus exactly once, and
+    its bucket contents are bit-identical to the in-memory builder's
+    (same seed -> same planes -> same codes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from lakecdc import ann
+
+    planes, all_codes, buckets = ann.build_lsh_buckets_streaming(SF_DIR)
+    assert all(isinstance(v, list) for v in buckets.values())
+    ids, Vn = ann._matrix(SF_DIR)
+    assert planes.nbytes + all_codes.nbytes < Vn.nbytes / 4
+    got = sorted(
+        int(i)
+        for refs in buckets.values()
+        for part in ray.get(refs)
+        for i in part[0]
+    )
+    assert got == sorted(int(i) for i in ids)
+    # parity with the in-memory builder: identical codes per vector
+    planes2, all_codes2, buckets2 = ann.build_lsh_buckets(ids, Vn)
+    assert np.array_equal(planes, planes2)
+    assert np.array_equal(all_codes, all_codes2)
+    for c in all_codes2:
+        mem_ids = sorted(int(i) for i in ray.get(buckets2[int(c)])[0])
+        stream_ids = sorted(
+            int(i) for part in ray.get(buckets[int(c)]) for i in part[0]
+        )
+        assert mem_ids == stream_ids
+    # probing through the bounded cache fetches only probed buckets
+    idx = ann.LSHIndex(planes, all_codes, buckets, nprobe=2, k=3)
+    q = pa.table(
+        {
+            "vec_id": pa.array(ids[:1], type=pa.int64()),
+            "embedding": pa.array([list(map(float, Vn[0]))]),
+        }
+    )
+    out = idx(q)
+    assert out.num_rows > 0
+    assert 0 < len(idx.buckets.cache) <= 2
+
+
 def test_connected_components_graph_shapes():
     """hash-to-min CC on adversarial shapes: a long chain (worst-case
     diameter for plain min propagation), a clique, two triangles
@@ -477,3 +523,31 @@ def test_embedding_ivf_neardup_recall_and_containment():
     assert ap <= ex  # containment: no false pairs, ever
     if ex:
         assert len(ap) / len(ex) >= 0.3  # recall floor at 8 cells
+
+
+def test_embedding_ivf_neardup_hot_cell_is_tiled():
+    """Round-4 guard: a maximally-skewed corpus (n_cells=1 -> EVERY
+    vector in one hot cell) must be processed as bounded shard-pair
+    tiles, never one O(n_c^2) task — every shard the tile tasks fetch
+    is HARD-capped at block_rows rows regardless of cell skew, and
+    the tiled result still equals the exact brute-force pair set."""
+    import ray
+
+    from lakecdc import ann, dedup
+
+    block_rows = 64
+    cent, cells = ann.build_ivf_cells_streaming(
+        SF_DIR, n_cells=1, flush_rows=block_rows
+    )
+    assert len(cells) == 1
+    (refs,) = cells.values()
+    assert len(refs) > 1, "hot cell must be split into multiple shards"
+    for part in ray.get(refs):
+        assert len(part[0]) <= block_rows
+    tiled = dedup.embedding_near_dup_ivf(
+        SF_DIR, threshold=0.38, n_cells=1, block_rows=block_rows
+    )
+    exact = dedup.embedding_near_dup(SF_DIR, threshold=0.38)
+    assert set(zip(tiled["vec_a"], tiled["vec_b"])) == set(
+        zip(exact["vec_a"], exact["vec_b"])
+    )
