@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
             # (32 for a fresh index)
             s.add_argument("--token-buckets", type=int, default=None,
                            dest="token_buckets")
+        if name in ("index", "dupindex"):
+            s.add_argument(
+                "--compact", action="store_true",
+                help="after maintenance, fold each bucket's epoch chain "
+                "into one base file (O(1) files per probe)",
+            )
         if name == "search-token":
             s.add_argument("--token", type=int, required=True)
             s.add_argument("--as-of", type=int, default=None, dest="as_of")
@@ -374,7 +380,13 @@ def main(argv: list[str] | None = None) -> int:
 
             tb = args.token_buckets or resolved_token_buckets(cfg)
             n = build_index(cfg, token_buckets=tb)
-            print(json.dumps({"postings_written": int(n)}))
+            out = {"postings_written": int(n)}
+            if args.compact:
+                from lakecdc.index import compact_index
+
+                folded = compact_index(cfg)
+                out["buckets_compacted"] = len(folded)
+            print(json.dumps(out))
         elif args.cmd == "search-token":
             from lakecdc.index import lookup_token
 
@@ -390,7 +402,13 @@ def main(argv: list[str] | None = None) -> int:
 
             bb = args.band_buckets or DEFAULT_BAND_BUCKETS
             n = build_dupindex(cfg, band_buckets=bb)
-            print(json.dumps({"band_rows_written": int(n)}))
+            out = {"band_rows_written": int(n)}
+            if args.compact:
+                from lakecdc.dupindex import compact_dupindex
+
+                folded = compact_dupindex(cfg)
+                out["buckets_compacted"] = len(folded)
+            print(json.dumps(out))
         elif args.cmd == "neardup":
             from lakecdc.dupindex import (
                 DEFAULT_BAND_BUCKETS,

@@ -326,6 +326,19 @@ def build_dupindex(
     return total
 
 
+def compact_dupindex(cfg: EngineConfig) -> dict[int, int]:
+    """Fold each band-bucket's chain into a single base file (dropping
+    absent rows) so gate/lookup cost stays O(1) files per probe instead
+    of O(epochs) — the lake's own chain-fold discipline applied to this
+    index (see index._compact_chains). Incremental maintenance stacks
+    later epochs' deltas on top; compact again when the chain regrows."""
+    from lakecdc.index import _compact_chains
+
+    return _compact_chains(
+        dupindex_dir(cfg), "bb", ["band", "bkey", "doc_id"], BAND_SCHEMA
+    )
+
+
 def _bucket_files(cfg: EngineConfig, bb: int, up_to_epoch: int | None) -> list[str]:
     files = sorted(
         glob.glob(

@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from lakecdc import manifest
@@ -312,6 +313,91 @@ def build_index(
         if latest is not None:
             total += update_index(cfg, latest, token_buckets, from_epoch=None)
     return total
+
+
+def _chain_bucket_dirs(root: str, prefix: str) -> dict[int, list[str]]:
+    """All of one index's bucket chains: {bucket: sorted chain files}.
+    ``prefix`` is the bucket dir prefix (``tb`` / ``bb``)."""
+    out: dict[int, list[str]] = {}
+    for f in sorted(glob.glob(os.path.join(root, "epoch=*", f"{prefix}=*", "*.parquet"))):
+        b = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        out.setdefault(b, []).append(f)
+    return out
+
+
+@ray.remote
+def _compact_chain_bucket(
+    files: list[str],
+    base_path: str,
+    key_cols: list[str],
+    schema_bytes: bytes,
+) -> int:
+    """Fold ONE bucket's epoch chain into a single base file and remove
+    the superseded chain files — the lake's chain-fold discipline
+    (compact._compact_partition) applied to a secondary index. Absent
+    rows are dropped outright: the base replaces every older file, so
+    no lower-LSN posting can ever resurface to need shielding. Crash
+    between write and removal is safe — the LWW fold over base + stale
+    chain files reproduces the same state (base rows carry the
+    winners' original LSNs)."""
+    import pyarrow.ipc as ipc
+
+    schema = ipc.read_schema(pa.BufferReader(schema_bytes))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().sort_values("lsn", kind="stable")
+    last = df.groupby(key_cols, sort=False).tail(1)
+    live = last[last["present"]].sort_values(key_cols + ["lsn"], kind="stable")
+    out = pa.Table.from_pandas(live, schema=schema, preserve_index=False)
+    atomic_write(base_path, lambda tmp: pq.write_table(out, tmp))
+    base_real = os.path.realpath(base_path)
+    for f in files:
+        if os.path.realpath(f) != base_real:
+            os.remove(f)
+            # reap the emptied bucket dir (and its epoch dir if that
+            # was its last bucket) — discovery globs on *.parquet so
+            # this is hygiene, not correctness
+            for d in (os.path.dirname(f), os.path.dirname(os.path.dirname(f))):
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
+    return out.num_rows
+
+
+def _compact_chains(
+    root: str, prefix: str, key_cols: list[str], schema: pa.Schema
+) -> dict[int, int]:
+    """Compact every bucket chain under ``root``: one Ray task per
+    bucket folds its chain into ``epoch=<bucket's max epoch>/
+    <prefix>=B/base.parquet`` and deletes the superseded files, so
+    every later lookup/gate reads O(1) files per bucket instead of
+    O(epochs). Returns {bucket: live rows}. Trade-off: index time
+    travel to epochs before the fold is forfeited — exactly the lake
+    vacuum's trade, and the lake itself already made it."""
+    chains = _chain_bucket_dirs(root, prefix)
+    sbytes = schema.serialize().to_pybytes()
+    futures = {}
+    for b, files in chains.items():
+        if len(files) == 1 and os.path.basename(files[0]) == "base.parquet":
+            continue  # already compacted, nothing stacked on top
+        top = max(
+            int(f.split("epoch=")[1].split(os.sep)[0]) for f in files
+        )
+        base = os.path.join(
+            root, f"epoch={top:09d}", f"{prefix}={b:05d}", "base.parquet"
+        )
+        futures[b] = _compact_chain_bucket.remote(files, base, key_cols, sbytes)
+    return {b: ray.get(f) for b, f in futures.items()}
+
+
+def compact_index(cfg: EngineConfig) -> dict[int, int]:
+    """Fold each token-bucket's posting chain into a single base file
+    (and drop absent postings) so ``lookup_token`` and the delta
+    extractors read one file per bucket regardless of how many epochs
+    the index has lived through. Incremental maintenance continues on
+    top: later ``update_index`` epochs stack deltas over the base and
+    a later compaction folds again."""
+    return _compact_chains(index_dir(cfg), "tb", ["token", "doc_id"], INDEX_SCHEMA)
 
 
 def lookup_token(

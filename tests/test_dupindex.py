@@ -354,3 +354,85 @@ def test_signatures_closed_form_matches_sql_formula():
             assert sig[r, i] == want
     bk = band_keys(sig)
     assert bk[0, 0] == sig[0, 0] * P + sig[0, 1]
+
+
+def test_compact_dupindex_o1_files_same_answers_then_incremental(tmp_path):
+    """Round-4: compact_dupindex folds each band-bucket's epoch chain
+    into ONE base file — probe cost becomes O(1) files per bucket
+    instead of O(epochs) — while gate/lookup/pairs answers are
+    IDENTICAL before and after, and incremental maintenance stacks
+    cleanly on top of the base."""
+    import pyarrow as pa
+
+    from lakecdc import wal
+    from lakecdc.dupindex import _bucket_files, compact_dupindex, gate_epoch
+
+    cfg = EngineConfig(root=str(tmp_path), num_buckets=4)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir, n_docs=120, n_epochs=6, events_per_epoch=300, seed=77
+    )
+    apply_all(cfg)
+    assert build_dupindex(cfg, band_buckets=BB) > 0
+
+    # a PENDING epoch to gate (not yet applied or indexed)
+    lake_df = read_lake_local(cfg)
+    donor = lake_df.loc[lake_df["tokens"].map(
+        lambda t: t is not None and len(t) > 0
+    )].iloc[0]
+    hi = wal.max_lsn(cfg)
+    pend = pa.table(
+        {
+            "lsn": pa.array([hi + 1, hi + 2], type=pa.int64()),
+            "op": pa.array(["upsert", "upsert"]),
+            "doc_id": pa.array(["newdoc-a", "newdoc-b"]),
+            "tokens": pa.array(
+                [list(map(int, donor["tokens"])), [1, 2, 3]],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([len(donor["tokens"]), 3], type=pa.int32()),
+            "source": pa.array([None, None], type=pa.string()),
+        }
+    )
+    e_pend = wal.resubmit_epoch(cfg, pend)
+
+    pre_gate = gate_epoch(cfg, e_pend, BB)
+    pre_pairs = live_pairs(cfg, BB)
+    pre_lookup = lookup_neardup(cfg, list(map(int, donor["tokens"])), BB)
+    pre_files = [len(_bucket_files(cfg, bb, None)) for bb in range(BB)]
+    assert max(pre_files) > 1, "fixture must produce multi-epoch chains"
+
+    compact_dupindex(cfg)
+    post_files = [len(_bucket_files(cfg, bb, None)) for bb in range(BB)]
+    assert all(c <= 1 for c in post_files), post_files
+
+    pd.testing.assert_frame_equal(
+        gate_epoch(cfg, e_pend, BB).reset_index(drop=True),
+        pre_gate.reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        live_pairs(cfg, BB).reset_index(drop=True),
+        pre_pairs.reset_index(drop=True),
+    )
+    pd.testing.assert_frame_equal(
+        lookup_neardup(cfg, list(map(int, donor["tokens"])), BB).reset_index(
+            drop=True
+        ),
+        pre_lookup.reset_index(drop=True),
+    )
+    # the gate must have seen the donor's twin through the base file
+    assert "newdoc-a" in set(pre_gate["doc_id"])
+
+    # incremental maintenance stacks on the base: apply + update, then
+    # the folded index equals a from-scratch recompute of the live lake
+    apply_all(cfg)
+    update_dupindex(cfg, e_pend, BB)
+    assert _brute_pairs(cfg) == {
+        tuple(p) for p in live_pairs(cfg, BB).itertuples(index=False)
+    }
+    # and a second compaction folds the regrown chain back to one file
+    compact_dupindex(cfg)
+    assert all(len(_bucket_files(cfg, bb, None)) <= 1 for bb in range(BB))
+    assert _brute_pairs(cfg) == {
+        tuple(p) for p in live_pairs(cfg, BB).itertuples(index=False)
+    }

@@ -253,3 +253,73 @@ def test_validate_with_empty_top_token_buckets(tmp_path):
     results = {n: ok for n, ok, _ in validate_lake(cfg)}
     assert results["index_sampled_lookup"] is True
     assert lookup_token(cfg, 2) == ["b", "c"]  # meta-resolved modulus
+
+
+def test_compact_index_o1_files_same_answers_then_incremental(tmp_path):
+    """Round-4: compact_index folds each token-bucket's posting chain
+    into ONE base file (lookup cost O(1) files per bucket instead of
+    O(epochs)); every token's lookup is identical before and after;
+    incremental maintenance stacks on the base and a recompaction folds
+    the regrown chain back down."""
+    import pyarrow as pa
+
+    from lakecdc import wal
+    from lakecdc.index import compact_index
+
+    cfg = EngineConfig(root=str(tmp_path), num_buckets=4)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir, n_docs=150, n_epochs=6, events_per_epoch=400, seed=19
+    )
+    apply_all(cfg)
+    assert build_index(cfg, token_buckets=TB) > 0
+
+    toks = _sample_tokens(cfg)
+    pre = {t: lookup_token(cfg, t, TB) for t in toks}
+
+    def files_per_bucket():
+        return [
+            len(
+                glob.glob(
+                    os.path.join(index_dir(cfg), "epoch=*", f"tb={b:05d}", "*.parquet")
+                )
+            )
+            for b in range(TB)
+        ]
+
+    assert max(files_per_bucket()) > 1, "fixture must produce multi-epoch chains"
+    compact_index(cfg)
+    assert all(c <= 1 for c in files_per_bucket()), files_per_bucket()
+    for t in toks:
+        assert lookup_token(cfg, t, TB) == pre[t] == _brute(cfg, t)
+
+    # incremental on top of the base: one more epoch, update, verify
+    hi = wal.max_lsn(cfg)
+    live = read_lake_local(cfg)
+    victim = live.iloc[0]["doc_id"]
+    newtok = int(
+        max(int(np.max(np.asarray(t))) for t in live["tokens"] if len(t))
+    ) + 1
+    ep = wal.resubmit_epoch(
+        cfg,
+        pa.table(
+            {
+                "lsn": pa.array([hi + 1], type=pa.int64()),
+                "op": pa.array(["upsert"]),
+                "doc_id": pa.array([victim]),
+                "tokens": pa.array([[newtok]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([1], type=pa.int32()),
+                "source": pa.array([None], type=pa.string()),
+            }
+        ),
+    )
+    apply_all(cfg)
+    update_index(cfg, ep, TB)
+    assert lookup_token(cfg, newtok, TB) == [victim]
+    for t in toks:
+        assert lookup_token(cfg, t, TB) == _brute(cfg, t)
+    compact_index(cfg)
+    assert all(c <= 1 for c in files_per_bucket())
+    assert lookup_token(cfg, newtok, TB) == [victim]
+    for t in toks:
+        assert lookup_token(cfg, t, TB) == _brute(cfg, t)
