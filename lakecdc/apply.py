@@ -446,9 +446,37 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     rows = lineage_ds.take_all()  # one row per partition — metadata-sized
     # Every touched partition is now committed: record completion so
     # compaction can distinguish "untouched partition" from "apply
-    # crashed before committing" (lakecdc.compact guard).
-    manifest.mark_epoch_complete(cfg, epoch)
+    # crashed before committing" (lakecdc.compact guard). EVERY epoch
+    # of the fold gets its marker (the fold processed them all), so
+    # apply_pending can skip exactly the applied epochs — a crash
+    # before this point leaves no markers and the whole fold re-runs.
+    for e in epochs:
+        manifest.mark_epoch_complete(cfg, e)
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+
+
+def pending_epochs(cfg: EngineConfig) -> list[int]:
+    """WAL epochs with no completion marker — the apply frontier. Cost
+    is one manifest-directory stat per epoch, never an event read."""
+    return [e for e in wal.list_epochs(cfg) if not manifest.epoch_complete(cfg, e)]
+
+
+def apply_pending(cfg: EngineConfig, fold: int = 1) -> pa.Table:
+    """The tailer's hot path: apply only the epochs whose completion
+    marker is absent — O(new data) per call regardless of how long the
+    WAL has grown (a 100-TB lake's tail tick must never re-read the
+    whole WAL). ``apply_all`` below remains the deep-resync / repair
+    path: it re-applies everything (committed partitions no-op
+    byte-identically), which is what you want after manually clearing
+    manifest records, never per poll."""
+    epochs = pending_epochs(cfg)
+    tables = [
+        apply_epochs(cfg, epochs[i : i + max(fold, 1)])
+        for i in range(0, len(epochs), max(fold, 1))
+    ]
+    if not tables:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
 
 
 def apply_all(
@@ -456,7 +484,8 @@ def apply_all(
 ) -> pa.Table:
     """Tail the WAL: apply every epoch present, in order, folding
     ``fold`` epochs per pipeline (micro-batch size; see apply_epochs).
-    This is the `run_all.py` analogue."""
+    This is the `run_all.py` analogue — a full replay (resync); for
+    the incremental tail tick use ``apply_pending``."""
     epochs = [
         e
         for e in wal.list_epochs(cfg)

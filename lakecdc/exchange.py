@@ -158,7 +158,10 @@ def apply_epochs_direct(
         for b in range(B)
     ]
     records = [r for r in ray.get(reduce_out) if r is not None]
-    manifest.mark_epoch_complete(cfg, epoch)
+    # every folded epoch was processed: mark each, so apply_pending /
+    # pending_epochs see exactly the applied set (see apply.apply_epochs)
+    for e in epochs:
+        manifest.mark_epoch_complete(cfg, e)
     from lakecdc.apply import _lineage_row
 
     if not records:

@@ -47,14 +47,14 @@ def forget(
     -> vacuum (superseded files physically removed;
     ``vacuum_files=False`` keeps them, i.e. logical-only deletion).
     """
-    from lakecdc.apply import apply_all
+    from lakecdc.apply import apply_pending
     from lakecdc.compact import compact, vacuum
 
     snap = manifest.snapshot(cfg)
     applied_hi = max((r["lsn_watermark"] for r in snap.values()), default=0)
     # WAL LSNs are globally monotonic across epochs; a written-but-not-
     # yet-applied epoch can hold LSNs above the APPLIED watermark. The
-    # tombstones must out-order those too, or forget's own apply_all
+    # tombstones must out-order those too, or forget's own apply_pending
     # below would let a pending upsert resurrect (or LSN-collide with)
     # a victim doc. wal.max_lsn reads parquet metadata only.
     hi = max(applied_hi, wal.max_lsn(cfg))
@@ -71,7 +71,10 @@ def forget(
         }
     )
     epoch = wal.resubmit_epoch(cfg, tomb)
-    apply_all(cfg)
+    # Pending epochs + the tombstone epoch only — never a whole-WAL
+    # replay (the tombstone LSNs already out-order every pending event,
+    # so applying just the frontier converges to the same state).
+    apply_pending(cfg)
     compact(cfg)
     deleted: list[str] = []
     if vacuum_files:
