@@ -215,3 +215,41 @@ def test_dupindex_delta_chain_folds_to_final_state(script):
         )
 
     pd.testing.assert_frame_equal(norm(folded), norm(want))
+
+
+# --- round-4: corpus-level text kernels == per-doc kernels, bit for bit ---
+
+text_st = st.text(
+    alphabet=st.characters(max_codepoint=0x2FF), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(texts=st.lists(text_st, min_size=0, max_size=12), k=st.integers(2, 6))
+def test_gram_hashes_corpus_matches_per_doc(texts, k):
+    from lakecdc.text import _gram_hashes, _gram_hashes_corpus
+
+    base = 1099511628211
+    h, starts, m = _gram_hashes_corpus(texts, k, base)
+    assert int(m.sum()) == h.size
+    for i, t in enumerate(texts):
+        want = _gram_hashes(t, k, base)
+        got = h[starts[i] : starts[i] + m[i]]
+        assert got.tolist() == want.tolist(), (i, t)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    texts=st.lists(text_st, min_size=0, max_size=12),
+    k=st.integers(2, 5),
+    window=st.integers(1, 7),
+)
+def test_winnow_corpus_matches_per_doc(texts, k, window):
+    from lakecdc.text import _winnow_corpus, _winnow_doc
+
+    base = 1099511628211
+    doc_idx, sel = _winnow_corpus(texts, k, window, base)
+    for i, t in enumerate(texts):
+        want = _winnow_doc(t, k, window, base)
+        got = sel[doc_idx == i]
+        assert got.tolist() == want.tolist(), (i, t)
