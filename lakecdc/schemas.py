@@ -94,3 +94,30 @@ LINEAGE_SCHEMA = pa.schema(
 
 def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()
+
+
+def wal_write_options(schema: pa.Schema) -> dict:
+    """Parquet writer options for WAL segments, chosen by measurement
+    (BASELINE.md round 4): sequential int64 log columns delta-pack
+    ~2000x (`lsn` 300 KB -> 138 B per 50k-row segment, ~8-12% of WAL
+    bytes — less DRAM streamed per decode); token payloads are ALREADY
+    near-entropy under pyarrow's default dictionary encoding (~16.5
+    bits/token vs DELTA_BINARY_PACKED's ~18), but a use_dictionary
+    LIST silently demotes unlisted columns to PLAIN (32 bits/token!),
+    so every integer column gets an explicit delta encoding. Keys are
+    intersected with the actual schema so v0 (no `source`) and future
+    evolutions write with the same call."""
+    names = set(schema.names)
+    dict_cols = [c for c in ("op", "doc_id", "source") if c in names]
+    enc = {
+        c: "DELTA_BINARY_PACKED"
+        for c in ("lsn", "n_tok")
+        if c in names
+    }
+    if "tokens" in names:
+        enc["tokens.list.element"] = "DELTA_BINARY_PACKED"
+    return {
+        "use_dictionary": dict_cols,
+        "column_encoding": enc,
+        "version": "2.6",
+    }

@@ -160,7 +160,11 @@ def write_segment(
     edir = os.path.join(wal_dir, f"epoch={epoch:09d}")
     os.makedirs(edir, exist_ok=True)
     p = os.path.join(edir, f"seg-{segment:03d}.parquet")
-    atomic_write(p, lambda tmp: pq.write_table(table, tmp))
+    from lakecdc.schemas import wal_write_options
+
+    atomic_write(
+        p, lambda tmp: pq.write_table(table, tmp, **wal_write_options(table.schema))
+    )
     return p
 
 

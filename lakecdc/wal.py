@@ -210,7 +210,7 @@ def resubmit_epoch(cfg: EngineConfig, table) -> int:
     import pyarrow.parquet as pq
 
     from lakecdc.evolve import conform
-    from lakecdc.schemas import WAL_SCHEMA_V1
+    from lakecdc.schemas import WAL_SCHEMA_V1, wal_write_options
 
     existing = list_epochs(cfg)
     e = (max(existing) + 1) if existing else 0
@@ -220,6 +220,10 @@ def resubmit_epoch(cfg: EngineConfig, table) -> int:
 
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    pq.write_table(conform(table, WAL_SCHEMA_V1), os.path.join(tmp, "seg-0.parquet"))
+    pq.write_table(
+        conform(table, WAL_SCHEMA_V1),
+        os.path.join(tmp, "seg-0.parquet"),
+        **wal_write_options(WAL_SCHEMA_V1),
+    )
     os.rename(tmp, final)
     return e
