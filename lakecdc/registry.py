@@ -364,6 +364,18 @@ _DRIVER_ORDER_HEAD = [
     "cdc_resume_compact",
     "cdc_matview",
     "range_join",
+    # round-4 rotation (driver coverage is rotation-limited, not
+    # code-limited — VERDICT r3 item 6): six never-driver-checked
+    # high-value entries promoted into the view, funded by demoting six
+    # multi-round-stable rows (see the rotation notes in
+    # _DRIVER_EXCLUDED). Listed in the head so a truncating driver
+    # still records them.
+    "neardup_gate",
+    "kmeans_embeddings",
+    "token_budget_mix",
+    "grouped_quantiles",
+    "json_ingest",
+    "contamination_check",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -397,9 +409,6 @@ _DRIVER_EXCLUDED = {
     "derived_flag_split",  # (a two-column projection of the kept
     #  multiway_left_join: same totals + has_money computation, same oracle
     #  arithmetic — driver-green in r01/r02, demoted to pytest-only)
-    "neardup_gate",  # (neardup_index_pairs: same closed-form MinHash
-    #  machinery value-checked by the driver; the gate's delta variant
-    #  is SQL-checked every pytest run)
     "embedding_near_dup_ivf",  # approximate by construction (cell-boundary
     #  misses); recall floor asserted in pytest vs the exact path
     "embedding_near_dup_ivf_verified",  # (embedding_near_dup: same exact
@@ -407,30 +416,27 @@ _DRIVER_EXCLUDED = {
     "collapse_dedup_sum",  # (A3 is the kept grouped_sum's two-phase plan on a
     #  composite key — driver-green r01/r02, demoted to pytest-only to fund
     #  the cdc_matview engine-surface slot)
-    "json_ingest",  # (delimited_ingest: the S1 source-format rep with the
-    #  harder permissive-parse semantics; the jsonl path is
-    #  SQL-value-checked every pytest run)
-    "grouped_quantiles",  # (quantiles: same distributed-histogram machinery
-    #  driver-checked globally; the per-group variant is SQL-value-checked
-    #  every pytest run)
-    "token_budget_mix",  # (pack_sequences: same distributed exclusive
-    #  prefix-sum machinery driver-checked; the budget filter is
-    #  SQL-value-checked every pytest run)
     "kmv_verified",  # (hll_verified: the sketch family's stronger driver
     #  rep — full register-state replay; KMV's all-integer estimator
     #  replay stays SQL-value-checked every pytest run)
-    # deterministic sampling family: sampled_stats is the kept driver-
-    # checked representative; all three are SQL-value-checked in pytest
+    # deterministic sampling family: driver-checked via sampled_stats in
+    # r01-r03 (rotated out below); all four are SQL-value-checked in pytest
     "bottomk_sample",
     "weighted_sample",
     "stratified_sample",
     "content_chunking",  # (winnowing_fingerprints: driver-checks the same
     #  rolling-hash kernel; the mod-divisor cut rule is SQL-checked in pytest)
-    "contamination_check",  # (winnowing_fingerprints: driver-checks the
-    #  same fingerprint kernel; the probe-join composition is
-    #  SQL-value-checked every pytest run)
-    "kmeans_embeddings",  # iterative (no SQL oracle); bit-identical to
-    #  the single-process replay in tests/test_cluster.py
+    # round-4 rotation: the six rows below were driver-green in rounds
+    # 1-3 (and stay DuckDB-checked every pytest run); demoted to fund
+    # the never-driver-checked entries promoted into the head.
+    "topk",  # (topk_per_group keeps O1/O2 sort+limit driver-checked)
+    "grouped_nunique",  # (dup_key_census keeps grouped-distinct checked)
+    "union_provenance",  # (anti_join/exact_dedup keep the D-family checked;
+    #  driver-green r01-r03)
+    "delimited_ingest",  # (json_ingest: the S1 rep with the HARDER
+    #  permissive-parse semantics takes the slot)
+    "sampled_stats",  # (the sampling family stays SQL-checked in pytest)
+    "tumbling_window",  # (session_window keeps windowed aggregation checked)
 }
 
 DRIVER_QUERIES: dict[str, Callable] = {
