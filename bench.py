@@ -58,6 +58,10 @@ def _wal_params(sf_dir: str) -> dict:
         "zipf_a": 1.2,
         "mean_tokens": 32,
         "p_invalid": 0.005,
+        # marker-only key: invalidates WALs staged before the round-4
+        # writer encodings (schemas.wal_write_options — delta-packed
+        # ints + dict strings; measured A/B in BASELINE.md)
+        "wal_format": 2,
     }
 
 
@@ -266,6 +270,66 @@ def run_bench() -> dict:
                 best = min(best, time.time() - t0)
             queries[name] = round(best, 3)
 
+    # Maintenance surfaces on the lake the final timed apply produced
+    # (round-3 these were narrative-only in BASELINE.md; recorded
+    # officially since round 4). Timed ONCE each — they mutate state
+    # (forget rewrites the lake), so best-of-N would not re-measure
+    # the same work.
+    maintenance: dict[str, float] = {}
+    if not os.environ.get("GRAFT_BENCH_SKIP_MAINT") and not os.environ.get(
+        "GRAFT_BENCH_SKIP_QUERIES"
+    ):
+        from lakecdc.dupindex import (
+            DEFAULT_BAND_BUCKETS,
+            build_dupindex,
+            gate_epoch,
+        )
+        from lakecdc.forget import assert_forgotten, forget
+        from lakecdc.lake import read_lake
+
+        lake_root = os.path.join(
+            wal_root(SF_DIR), f"lake_run_cpu{NCPU}_r{repeats - 1}"
+        )
+        cfg = EngineConfig(root=lake_root, num_buckets=64)
+        p = _wal_params(SF_DIR)
+        last_epoch = p["n_epochs"] - 1
+
+        # Ingest-time near-dup gate of the last WAL epoch against the
+        # index state as of the epochs before it — gate cost tracks
+        # DELTA size (one epoch's events), not lake size.
+        t0 = time.time()
+        build_dupindex(cfg, band_buckets=DEFAULT_BAND_BUCKETS)
+        maintenance["dupindex_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        hits = gate_epoch(
+            cfg, last_epoch, DEFAULT_BAND_BUCKETS, up_to_epoch=last_epoch - 1
+        )
+        maintenance["neardup_gate"] = round(time.time() - t0, 3)
+        maintenance["neardup_gate_hits"] = len(hits)
+
+        # Right-to-be-forgotten over ~1000 victims: tombstone epoch ->
+        # apply -> compact -> vacuum, then the parallel byte-level
+        # erasure audit. forget() writes its tombstone epoch into
+        # cfg.wal_dir, which is a symlink to the SHARED staged WAL —
+        # re-point it at a real dir of per-epoch symlinks first so the
+        # shared input stays pristine for future runs/levels.
+        victims = [
+            r["doc_id"]
+            for r in read_lake(cfg).select_columns(["doc_id"]).take(1000)
+        ]
+        os.remove(cfg.wal_dir)
+        os.makedirs(cfg.wal_dir)
+        for d in sorted(os.listdir(wdir)):
+            os.symlink(
+                os.path.join(wdir, d), os.path.join(cfg.wal_dir, d)
+            )
+        t0 = time.time()
+        forget(cfg, victims, vacuum_files=True)
+        maintenance["forget_vacuum"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        assert_forgotten(cfg, victims)
+        maintenance["erasure_audit"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "e2e_sec",
@@ -282,7 +346,12 @@ def run_bench() -> dict:
         result["events_per_sec_partial"] = round(
             n_events_partial / queries["cdc_apply_partial"], 1
         )
+    if maintenance:
+        result["maintenance"] = maintenance
     ray.shutdown()
+    # Probe AFTER shutdown so its pool doesn't contend with Ray; it
+    # stamps the session's host condition into the record.
+    result["contention_probe"] = contention_probe(min(NCPU, 32))
     return result
 
 
@@ -297,6 +366,7 @@ def run_scaling() -> dict:
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_SKIP_QUERIES="1",  # efficiency is measured on the CDC apply
             GRAFT_BENCH_SKIP_PARTIAL="1",
+            GRAFT_BENCH_SKIP_MAINT="1",
             # one timed apply per attempt: the interleaved attempts
             # below already give best-of-N per level, and the 2-cpu
             # level is wall-clock expensive
@@ -344,6 +414,12 @@ def run_scaling() -> dict:
     tput = lambda r: r["events_applied"] / r["queries"]["cdc_apply"]  # noqa: E731
     lo = max(lo_runs, key=tput)
     hi = max(hi_runs, key=tput)
+    # Worst per-attempt host-condition reading across the session: each
+    # child bench stamps its own probe; surfacing the minimum cache/mem
+    # efficiency makes a contended --scaling session self-evident.
+    probes = [
+        r["contention_probe"] for r in hi_runs if "contention_probe" in r
+    ]
     # Efficiency on the headline CDC apply (the shuffle-heavy stage).
     tput_lo = tput(lo)
     tput_hi = tput(hi)
@@ -359,7 +435,41 @@ def run_scaling() -> dict:
         "e2e_sec_lo": lo["value"],
         "e2e_sec_hi": hi["value"],
         "sf": SF_DIR,
+        "contention_probe_hi_min": (
+            {
+                "ncpu": probes[0]["ncpu"],
+                "cache_eff": min(p["cache_eff"] for p in probes),
+                "mem_eff": min(p["mem_eff"] for p in probes),
+            }
+            if probes
+            else None
+        ),
     }
+
+
+def contention_probe(ncpu: int) -> dict:
+    """One-shot, ~4s reading of what the host is delivering RIGHT NOW,
+    logged alongside every bench record so a contended session is
+    self-evident in BENCH_r{N}.json (the full best-of-N probe is
+    `--substrate`). cache = 400 KB L2-resident pure-CPU loop (measures
+    effective cores), mem = 64 MB DRAM-streaming loop (measures the
+    bandwidth ceiling the apply path actually hits). eff = solo time /
+    median pooled time at ncpu-way; ~1.0 on idle bare metal. Readings
+    well below the BASELINE.md substrate records (cache32 ~0.39,
+    mem32 ~0.25) mean a co-tenant wave — treat this record's absolute
+    timings as a lower bound, not a regression."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    out: dict = {"ncpu": ncpu}
+    for name, fn in (("cache", _burn_cache), ("mem", _burn_mem)):
+        solo = min(fn(0) for _ in range(2))
+        with mp.Pool(ncpu) as p:
+            pooled = float(np.median(p.map(fn, range(ncpu))))
+        out[f"{name}_solo_sec"] = round(solo, 3)
+        out[f"{name}_eff"] = round(solo / pooled, 3)
+    return out
 
 
 def _burn_cache(_):
