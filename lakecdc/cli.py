@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
                 help="after maintenance, fold each bucket's epoch chain "
                 "into one base file (O(1) files per probe)",
             )
+            s.add_argument(
+                "--compact-over", type=int, default=None, metavar="N",
+                dest="compact_over",
+                help="continuous-tail policy: fold only bucket chains "
+                "longer than N files (implies --compact)",
+            )
         if name == "search-token":
             s.add_argument("--token", type=int, required=True)
             s.add_argument("--as-of", type=int, default=None, dest="as_of")
@@ -381,10 +387,10 @@ def main(argv: list[str] | None = None) -> int:
             tb = args.token_buckets or resolved_token_buckets(cfg)
             n = build_index(cfg, token_buckets=tb)
             out = {"postings_written": int(n)}
-            if args.compact:
+            if args.compact or args.compact_over is not None:
                 from lakecdc.index import compact_index
 
-                folded = compact_index(cfg)
+                folded = compact_index(cfg, over=args.compact_over or 1)
                 out["buckets_compacted"] = len(folded)
             print(json.dumps(out))
         elif args.cmd == "search-token":
@@ -403,10 +409,10 @@ def main(argv: list[str] | None = None) -> int:
             bb = args.band_buckets or DEFAULT_BAND_BUCKETS
             n = build_dupindex(cfg, band_buckets=bb)
             out = {"band_rows_written": int(n)}
-            if args.compact:
+            if args.compact or args.compact_over is not None:
                 from lakecdc.dupindex import compact_dupindex
 
-                folded = compact_dupindex(cfg)
+                folded = compact_dupindex(cfg, over=args.compact_over or 1)
                 out["buckets_compacted"] = len(folded)
             print(json.dumps(out))
         elif args.cmd == "neardup":

@@ -326,16 +326,19 @@ def build_dupindex(
     return total
 
 
-def compact_dupindex(cfg: EngineConfig) -> dict[int, int]:
+def compact_dupindex(cfg: EngineConfig, over: int = 1) -> dict[int, int]:
     """Fold each band-bucket's chain into a single base file (dropping
     absent rows) so gate/lookup cost stays O(1) files per probe instead
     of O(epochs) — the lake's own chain-fold discipline applied to this
     index (see index._compact_chains). Incremental maintenance stacks
-    later epochs' deltas on top; compact again when the chain regrows."""
+    later epochs' deltas on top; compact again when the chain regrows.
+    ``over`` > 1 = continuous-tail policy: fold only chains longer than
+    ``over`` files (bounded read amplification, no per-epoch re-fold)."""
     from lakecdc.index import _compact_chains
 
     return _compact_chains(
-        dupindex_dir(cfg), "bb", ["band", "bkey", "doc_id"], BAND_SCHEMA
+        dupindex_dir(cfg), "bb", ["band", "bkey", "doc_id"], BAND_SCHEMA,
+        over=over,
     )
 
 

@@ -365,21 +365,26 @@ def _compact_chain_bucket(
 
 
 def _compact_chains(
-    root: str, prefix: str, key_cols: list[str], schema: pa.Schema
+    root: str, prefix: str, key_cols: list[str], schema: pa.Schema,
+    over: int = 1,
 ) -> dict[int, int]:
-    """Compact every bucket chain under ``root``: one Ray task per
-    bucket folds its chain into ``epoch=<bucket's max epoch>/
-    <prefix>=B/base.parquet`` and deletes the superseded files, so
-    every later lookup/gate reads O(1) files per bucket instead of
-    O(epochs). Returns {bucket: live rows}. Trade-off: index time
-    travel to epochs before the fold is forfeited — exactly the lake
-    vacuum's trade, and the lake itself already made it."""
+    """Compact every bucket chain under ``root`` longer than ``over``
+    files: one Ray task per bucket folds its chain into
+    ``epoch=<bucket's max epoch>/<prefix>=B/base.parquet`` and deletes
+    the superseded files, so every later lookup/gate reads O(1) files
+    per bucket instead of O(epochs). ``over`` is the policy knob for a
+    continuous tail (the lake's `maybe_compact` discipline): fold only
+    chains whose read amplification exceeds the threshold, leaving
+    short chains alone. Returns {bucket: live rows} for the folded
+    buckets. Trade-off: index time travel to epochs before the fold is
+    forfeited — exactly the lake vacuum's trade, and the lake itself
+    already made it."""
     chains = _chain_bucket_dirs(root, prefix)
     sbytes = schema.serialize().to_pybytes()
     futures = {}
     for b, files in chains.items():
-        if len(files) == 1 and os.path.basename(files[0]) == "base.parquet":
-            continue  # already compacted, nothing stacked on top
+        if len(files) <= max(over, 1):
+            continue  # chain short enough (or already just a base)
         top = max(
             int(f.split("epoch=")[1].split(os.sep)[0]) for f in files
         )
@@ -390,14 +395,19 @@ def _compact_chains(
     return {b: ray.get(f) for b, f in futures.items()}
 
 
-def compact_index(cfg: EngineConfig) -> dict[int, int]:
+def compact_index(cfg: EngineConfig, over: int = 1) -> dict[int, int]:
     """Fold each token-bucket's posting chain into a single base file
     (and drop absent postings) so ``lookup_token`` and the delta
     extractors read one file per bucket regardless of how many epochs
     the index has lived through. Incremental maintenance continues on
     top: later ``update_index`` epochs stack deltas over the base and
-    a later compaction folds again."""
-    return _compact_chains(index_dir(cfg), "tb", ["token", "doc_id"], INDEX_SCHEMA)
+    a later compaction folds again. ``over`` > 1 turns this into the
+    continuous-tail policy (fold only chains longer than ``over``
+    files — bounded read amplification without re-folding every
+    epoch), the `compact.maybe_compact` discipline."""
+    return _compact_chains(
+        index_dir(cfg), "tb", ["token", "doc_id"], INDEX_SCHEMA, over=over
+    )
 
 
 def lookup_token(

@@ -323,3 +323,42 @@ def test_compact_index_o1_files_same_answers_then_incremental(tmp_path):
     assert lookup_token(cfg, newtok, TB) == [victim]
     for t in toks:
         assert lookup_token(cfg, t, TB) == _brute(cfg, t)
+
+
+def test_compact_index_over_policy(tmp_path):
+    """over=N is the continuous-tail knob: chains longer than N fold,
+    shorter chains are left alone (bounded read amplification without
+    re-folding every epoch) — the lake's maybe_compact discipline."""
+    from lakecdc.index import compact_index
+
+    cfg = EngineConfig(root=str(tmp_path), num_buckets=4)
+    cfg.ensure_dirs()
+    write_wal(
+        cfg.wal_dir, n_docs=120, n_epochs=5, events_per_epoch=300, seed=5
+    )
+    apply_all(cfg)
+    build_index(cfg, token_buckets=TB)
+
+    def files_per_bucket():
+        return [
+            len(
+                glob.glob(
+                    os.path.join(index_dir(cfg), "epoch=*", f"tb={b:05d}", "*.parquet")
+                )
+            )
+            for b in range(TB)
+        ]
+
+    pre = files_per_bucket()
+    assert max(pre) > 3
+    # threshold above every chain: nothing folds
+    assert compact_index(cfg, over=max(pre)) == {}
+    assert files_per_bucket() == pre
+    # threshold below: only the long chains fold
+    folded = compact_index(cfg, over=3)
+    assert set(folded) == {b for b, c in enumerate(pre) if c > 3}
+    post = files_per_bucket()
+    assert all(c <= max(3, 1) for c in post)
+    toks = _sample_tokens(cfg)
+    for t in toks:
+        assert lookup_token(cfg, t, TB) == _brute(cfg, t)
