@@ -287,8 +287,9 @@ QUERIES: dict[str, Callable] = {
     # Rabin-style content-defined chunking (storage-dedup cut points),
     # same rolling-hash kernel, SQL-replayed below
     "content_chunking": text.content_chunking,
-    # iterative ML: distributed integer k-means — no SQL oracle
-    # (iterative), bit-identical to a single-process replay in pytest
+    # iterative ML: distributed integer k-means — SQL-replayable after
+    # all (exact-int Lloyd unrolls into a CTE chain, _kmeans_sql), and
+    # bit-identical to a single-process replay in pytest
     "kmeans_embeddings": cluster.kmeans_embeddings,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
@@ -1385,6 +1386,83 @@ ORACLES: dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) <= 5
     """,
 }
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Exact DuckDB replay of cluster.kmeans_embeddings — possible
+    because the engine's Lloyd loop is EXACT INTEGER (floor(x*1e6)
+    quantization, int64 distances, floor-division centroid means,
+    argmin ties to the lowest cluster id), so a fixed iteration count
+    unrolls into a WITH chain with no float-order sensitivity. Each
+    iteration is assign (squared distance via per-dim BIGINT sums, tie
+    by cluster id) then centroid update (Python floor division
+    replayed as s - posmod before DuckDB's truncating `//`; empty
+    clusters keep their previous centroid via the LEFT JOIN). The
+    final SELECT digests the final assignment: n, inertia (distance to
+    the FINAL centroid) and centroid L1 — matching the distributed
+    run's output bit for bit (which tests pin to the single-process
+    replay)."""
+    w = [
+        f"""
+pts AS (
+  SELECT e.vec_id, gs.d,
+         CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM embeddings e,
+       LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs
+),
+cent0 AS (
+  SELECT r.cluster, p.d, p.x AS c
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+        FROM embeddings ORDER BY vec_id LIMIT {k}) r
+  JOIN pts p USING (vec_id)
+)"""
+    ]
+    for i in range(iters + 1):
+        w.append(
+            f"""
+dist{i} AS (
+  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM pts p JOIN cent{i} c USING (d)
+  GROUP BY p.vec_id, c.cluster
+),
+asg{i} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dist{i}) t WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            w.append(
+                f"""
+cent{i + 1} AS (
+  SELECT c.cluster, c.d,
+         CASE WHEN s.n IS NULL THEN c.c
+              ELSE (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n END AS c
+  FROM cent{i} c LEFT JOIN (
+    SELECT a.cluster, p.d, SUM(p.x) AS s, COUNT(*) AS n
+    FROM asg{i} a JOIN pts p USING (vec_id)
+    GROUP BY a.cluster, p.d) s
+  ON s.cluster = c.cluster AND s.d = c.d
+)"""
+            )
+    return (
+        "WITH "
+        + ",".join(w)
+        + f"""
+SELECT f.cluster, COUNT(*) AS n, SUM(f.d2) AS inertia,
+       MIN(l.centroid_l1) AS centroid_l1
+FROM asg{iters} f
+JOIN (SELECT cluster, SUM(ABS(c)) AS centroid_l1
+      FROM cent{iters} GROUP BY cluster) l
+  ON l.cluster = f.cluster
+GROUP BY f.cluster ORDER BY f.cluster"""
+    )
+
+
+# Iterative k-means was rows-only through round 3; the exact-integer
+# discipline makes it SQL-expressible after all (unrolled CTE chain).
+ORACLES["kmeans_embeddings"] = _kmeans_sql()
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.
