@@ -283,52 +283,69 @@ def run_bench() -> dict:
             DEFAULT_BAND_BUCKETS,
             build_dupindex,
             gate_epoch,
+            update_dupindex,
         )
+        from lakecdc.exchange import apply_epochs_direct, apply_pending_direct
         from lakecdc.forget import assert_forgotten, forget
         from lakecdc.lake import read_lake
 
-        lake_root = os.path.join(
-            wal_root(SF_DIR), f"lake_run_cpu{NCPU}_r{repeats - 1}"
-        )
-        cfg = EngineConfig(root=lake_root, num_buckets=64)
         p = _wal_params(SF_DIR)
         last_epoch = p["n_epochs"] - 1
 
-        # Ingest-time near-dup gate of the last WAL epoch against the
-        # index state as of the epochs before it — gate cost tracks
-        # DELTA size (one epoch's events), not lake size.
+        # Dedicated maintenance lake: epochs 0..n-2 applied (untimed),
+        # the LAST epoch left PENDING so the gate measures the true
+        # ingest-time scenario (index exists, arriving epoch doesn't)
+        # and the tail tick measures one epoch's incremental apply.
+        # NOTE the headline lake can't serve here: it was applied as
+        # one fold, so every commit lands at the final epoch and any
+        # "as of epoch-1" index view is empty. wal_dir is a per-epoch
+        # symlink farm from the start — forget's tombstone epoch must
+        # never touch the shared staged WAL.
+        maint_root = os.path.join(wal_root(SF_DIR), f"lake_maint_cpu{NCPU}")
+        shutil.rmtree(maint_root, ignore_errors=True)
+        cfg = EngineConfig(root=maint_root, num_buckets=64)
+        cfg.ensure_dirs()
+        os.rmdir(cfg.wal_dir)
+        os.makedirs(cfg.wal_dir)
+        for d in sorted(os.listdir(wdir)):
+            os.symlink(os.path.join(wdir, d), os.path.join(cfg.wal_dir, d))
+        apply_epochs_direct(cfg, list(range(last_epoch)))  # untimed base
+
         t0 = time.time()
         build_dupindex(cfg, band_buckets=DEFAULT_BAND_BUCKETS)
         maintenance["dupindex_build"] = round(time.time() - t0, 3)
+
+        # Gate cost tracks DELTA size (one epoch's events); the lake
+        # side stays point reads of its own band-bucket chains.
         t0 = time.time()
-        hits = gate_epoch(
-            cfg, last_epoch, DEFAULT_BAND_BUCKETS, up_to_epoch=last_epoch - 1
-        )
+        hits = gate_epoch(cfg, last_epoch, DEFAULT_BAND_BUCKETS)
         maintenance["neardup_gate"] = round(time.time() - t0, 3)
         maintenance["neardup_gate_hits"] = len(hits)
 
+        # The follower's tail tick: apply ONLY the pending epoch
+        # (apply_pending_direct skips the completion-marked base), then
+        # the O(changed) per-epoch index maintenance on top.
+        t0 = time.time()
+        apply_pending_direct(cfg)
+        maintenance["tail_tick_apply"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        update_dupindex(cfg, last_epoch, DEFAULT_BAND_BUCKETS)
+        maintenance["dupindex_update"] = round(time.time() - t0, 3)
+
         # Right-to-be-forgotten over ~1000 victims: tombstone epoch ->
-        # apply -> compact -> vacuum, then the parallel byte-level
-        # erasure audit. forget() writes its tombstone epoch into
-        # cfg.wal_dir, which is a symlink to the SHARED staged WAL —
-        # re-point it at a real dir of per-epoch symlinks first so the
-        # shared input stays pristine for future runs/levels.
+        # frontier apply -> compact -> vacuum, then the parallel
+        # byte-level erasure audit over every surviving lake file.
         victims = [
             r["doc_id"]
             for r in read_lake(cfg).select_columns(["doc_id"]).take(1000)
         ]
-        os.remove(cfg.wal_dir)
-        os.makedirs(cfg.wal_dir)
-        for d in sorted(os.listdir(wdir)):
-            os.symlink(
-                os.path.join(wdir, d), os.path.join(cfg.wal_dir, d)
-            )
         t0 = time.time()
         forget(cfg, victims, vacuum_files=True)
         maintenance["forget_vacuum"] = round(time.time() - t0, 3)
         t0 = time.time()
         assert_forgotten(cfg, victims)
         maintenance["erasure_audit"] = round(time.time() - t0, 3)
+        shutil.rmtree(maint_root, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -181,3 +181,20 @@ def apply_all_direct(
     if not tables:
         return LINEAGE_SCHEMA.empty_table()
     return pa.concat_tables(tables)
+
+
+def apply_pending_direct(cfg: EngineConfig, fold: int = 1) -> pa.Table:
+    """apply.apply_pending on the direct-exchange path: the follower's
+    tail tick on the scale engine — only epochs without a completion
+    marker are read, so one tick costs O(new data) regardless of WAL
+    length (apply_all_direct stays the full-replay resync)."""
+    from lakecdc.apply import pending_epochs
+
+    epochs = pending_epochs(cfg)
+    tables = [
+        apply_epochs_direct(cfg, epochs[i : i + max(fold, 1)])
+        for i in range(0, len(epochs), max(fold, 1))
+    ]
+    if not tables:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(tables)

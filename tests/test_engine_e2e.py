@@ -551,3 +551,43 @@ def test_forget_outorders_pending_wal_epochs(tmp_root):
     assert not set(victims) & set(after["doc_id"]), "pending upsert resurrected a forgotten doc"
     assert_forgotten(cfg, victims)
     oracle.assert_lake_equals_oracle(after, oracle.replay(cfg.wal_dir))
+
+
+def test_apply_pending_skips_completed_epochs(tmp_root):
+    """Round-4 tail tick: both apply paths mark EVERY folded epoch
+    complete; apply_pending / apply_pending_direct then apply only the
+    frontier — a no-op on a fully-applied WAL, exactly the new epoch
+    afterwards, converging to the oracle either way."""
+    from lakecdc import wal
+    from lakecdc.apply import apply_pending, pending_epochs
+    from lakecdc.exchange import apply_all_direct, apply_pending_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=3)
+    apply_all_direct(cfg, fold=3)  # one fold commits at epoch 2 ...
+    assert pending_epochs(cfg) == []  # ... but every epoch is marked
+    assert apply_pending(cfg).num_rows == 0  # frontier empty: no-op
+    assert apply_pending_direct(cfg).num_rows == 0
+
+    # a new epoch arrives: only IT is pending and only IT is applied
+    import pyarrow as pa
+
+    hi = wal.max_lsn(cfg)
+    ep = wal.resubmit_epoch(
+        cfg,
+        pa.table(
+            {
+                "lsn": pa.array([hi + 1], type=pa.int64()),
+                "op": pa.array(["upsert"]),
+                "doc_id": pa.array(["tick-doc"]),
+                "tokens": pa.array([[7, 8]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([2], type=pa.int32()),
+                "source": pa.array([None], type=pa.string()),
+            }
+        ),
+    )
+    assert pending_epochs(cfg) == [ep]
+    lg = apply_pending_direct(cfg)
+    assert lg.num_rows >= 1
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
