@@ -550,7 +550,56 @@ def run_substrate() -> dict:
     return out
 
 
+def wait_clear(
+    mem_floor: float | None = None,
+    cache_floor: float | None = None,
+    timeout_s: float | None = None,
+) -> dict:
+    """Block until the host's co-tenant contention wave passes, then
+    return the clearing probe reading. This box sees multi-minute waves
+    that crush DRAM bandwidth (probe mem_eff 0.01-0.05 vs clear-window
+    ~0.25 at 32-way; BASELINE.md substrate records) — an official bench
+    fired inside a wave records the wave, not the engine. Polls
+    contention_probe(NCPU) every ~75 s until mem_eff and cache_eff
+    clear their floors (env GRAFT_CLEAR_MEM / GRAFT_CLEAR_CACHE,
+    defaults 0.12 / 0.30 — comfortably inside a wave/clear separation
+    that is ~10x) or the timeout (GRAFT_CLEAR_TIMEOUT, default 3600 s)
+    expires; on timeout it proceeds anyway — the per-record probe still
+    discloses the conditions the run actually got."""
+    mem_floor = float(
+        os.environ.get("GRAFT_CLEAR_MEM", "0.12") if mem_floor is None else mem_floor
+    )
+    cache_floor = float(
+        os.environ.get("GRAFT_CLEAR_CACHE", "0.30")
+        if cache_floor is None
+        else cache_floor
+    )
+    timeout_s = float(
+        os.environ.get("GRAFT_CLEAR_TIMEOUT", "3600")
+        if timeout_s is None
+        else timeout_s
+    )
+    t0 = time.monotonic()
+    while True:
+        p = contention_probe(NCPU)
+        waited = round(time.monotonic() - t0, 1)
+        clear = p["mem_eff"] >= mem_floor and p["cache_eff"] >= cache_floor
+        print(
+            json.dumps({"wait_clear": p, "waited_s": waited, "clear": clear}),
+            file=sys.stderr,
+            flush=True,
+        )
+        if clear:
+            return p
+        if waited > timeout_s:
+            p["wait_clear_timeout"] = True
+            return p
+        time.sleep(75)
+
+
 if __name__ == "__main__":
+    if "--wait-clear" in sys.argv:
+        wait_clear()
     if "--gen-only" in sys.argv:
         import ray
 
