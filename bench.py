@@ -582,16 +582,18 @@ def wait_clear(
     t0 = time.monotonic()
     while True:
         p = contention_probe(NCPU)
-        waited = round(time.monotonic() - t0, 1)
+        waited = time.monotonic() - t0
         clear = p["mem_eff"] >= mem_floor and p["cache_eff"] >= cache_floor
         print(
-            json.dumps({"wait_clear": p, "waited_s": waited, "clear": clear}),
+            json.dumps(
+                {"wait_clear": p, "waited_s": round(waited, 1), "clear": clear}
+            ),
             file=sys.stderr,
             flush=True,
         )
         if clear:
             return p
-        if waited > timeout_s:
+        if waited >= timeout_s:
             p["wait_clear_timeout"] = True
             return p
         time.sleep(75)
