@@ -412,6 +412,13 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
                 _glob.glob(os.path.join(wal.epoch_dir(cfg, e), "*.parquet"))
             )
         ]
+        if not files:
+            # all-empty fold (crashed writer left segment-less epoch
+            # dirs): still mark complete below via the empty dataset
+            # path — read_parquet([]) would raise.
+            for e in epochs:
+                manifest.mark_epoch_complete(cfg, e)
+            return LINEAGE_SCHEMA.empty_table()
         ds = rd.read_parquet(files, schema=WAL_SCHEMA_V1)
     # No batch_size: each parquet block is one prep task, so the stage
     # fans out to every core instead of coalescing into a few bundles

@@ -847,6 +847,34 @@ def embedding_near_dup(
     return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def shard_tile_pairs(
+    ida: np.ndarray,
+    Va: np.ndarray,
+    idb: np.ndarray,
+    Vb: np.ndarray,
+    *,
+    diagonal: bool,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One bounded shard-pair tile of the within-cell all-pairs scan:
+    (lo_id, hi_id, cosine) for every cross-shard pair at or above
+    ``threshold``. On a DIAGONAL tile (both sides the same shard) the
+    ``a < b`` mask dedupes the mirrored pairs and drops self-pairs. On
+    an off-diagonal tile every unordered pair appears exactly once
+    across all (i <= j) tiles, but the shards were flushed in batch
+    ARRIVAL order (ray.data gives no ordering guarantee), so their id
+    ranges can interleave — pairs are ORIENTED to (min, max), never
+    filtered, or a true pair whose shard-i id exceeds its shard-j id
+    would silently vanish (round-4 review fix)."""
+    sims = Va @ Vb.T  # bounded: <= block_rows x block_rows
+    a_idx, b_idx = np.nonzero(sims >= threshold)
+    a_ids, b_ids = ida[a_idx], idb[b_idx]
+    if diagonal:
+        keep = a_ids < b_ids
+        return a_ids[keep], b_ids[keep], sims[a_idx[keep], b_idx[keep]]
+    return np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), sims[a_idx, b_idx]
+
+
 def embedding_near_dup_ivf(
     sf_dir: str,
     threshold: float = 0.38,
@@ -874,7 +902,9 @@ def embedding_near_dup_ivf(
 
     # flush_rows=block_rows bounds every shard; cell ASSIGNMENT is
     # unchanged (centroids come from the sample pass), so results are
-    # identical to any other flush size.
+    # identical to any other flush size — and, via shard_tile_pairs'
+    # orientation rule, so is the PAIR SET regardless of how batch
+    # arrival order interleaved the shards' id ranges.
     cent, cells = ann.build_ivf_cells_streaming(
         sf_dir, n_cells=n_cells, seed=seed, flush_rows=block_rows
     )
@@ -900,21 +930,16 @@ def embedding_near_dup_ivf(
         ):
             ida, Va = ray.get(cells[c][i])
             idb, Vb = ray.get(cells[c][j])
-            sims = Va @ Vb.T  # bounded: <= block_rows x block_rows
-            a_idx, b_idx = np.nonzero(sims >= threshold)
-            a_ids, b_ids = ida[a_idx], idb[b_idx]
-            # each unordered row pair appears in exactly one (i<=j)
-            # tile, so a<b both orients and dedupes (incl. diagonal)
-            keep = a_ids < b_ids
+            lo, hi, cos = shard_tile_pairs(
+                ida, Va, idb, Vb, diagonal=(i == j), threshold=threshold
+            )
             outs.append(
                 pa.table(
                     {
-                        "vec_a": pa.array(a_ids[keep], type=pa.int64()),
-                        "vec_b": pa.array(b_ids[keep], type=pa.int64()),
+                        "vec_a": pa.array(lo, type=pa.int64()),
+                        "vec_b": pa.array(hi, type=pa.int64()),
                         "cos_e6": pa.array(
-                            np.floor(
-                                sims[a_idx[keep], b_idx[keep]] * 1e6 + 0.5
-                            ).astype(np.int64)
+                            np.floor(cos * 1e6 + 0.5).astype(np.int64)
                         ),
                     }
                 )

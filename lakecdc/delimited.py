@@ -180,8 +180,22 @@ def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
                 orient="records",
                 lines=True,
             )
-        shutil.rmtree(d, ignore_errors=True)
-        os.rename(tmp, d)
+        # Commit without an absence window: try the rename first; only
+        # if a (corrupt, wrong-shard-count) destination blocks it do we
+        # move the corpse aside — NEVER rmtree d in place, or a racing
+        # builder could delete the winner's freshly committed shards
+        # out from under its in-flight read.
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            if len(os.listdir(d)) == n_shards:
+                shutil.rmtree(tmp, ignore_errors=True)  # racer won
+            else:
+                trash = f"{d}.trash.{os.getpid()}"
+                shutil.rmtree(trash, ignore_errors=True)
+                os.rename(d, trash)
+                os.rename(tmp, d)
+                shutil.rmtree(trash, ignore_errors=True)
 
     ds = rd.read_json([os.path.join(d, f"shard-{s}.jsonl") for s in range(n_shards)])
 

@@ -128,6 +128,12 @@ def apply_epochs_direct(
         for f in sorted(glob.glob(os.path.join(wal.epoch_dir(cfg, e), "*.parquet")))
     ]
     if not files:
+        # A crashed writer can leave an epoch dir with zero committed
+        # segments; mark it complete anyway or it stays in
+        # pending_epochs forever and every tail tick re-lists it
+        # (round-4 review fix; apply.apply_epochs handles this too).
+        for e in epochs:
+            manifest.mark_epoch_complete(cfg, e)
         return LINEAGE_SCHEMA.empty_table()
     if files_per_map is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))

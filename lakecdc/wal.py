@@ -155,9 +155,25 @@ def quarantine_epochs(
         m = epoch_re.match(os.path.basename(d))
         if m:
             done.add(int(m.group(1)))
-        elif os.path.basename(d).endswith(f".tmp.{os.getpid()}"):
-            # only reap OUR OWN stale tmp dirs — another live process's
-            # pid-suffixed in-progress dir must survive this cleanup
+        elif ".tmp." in os.path.basename(d):
+            # Reap a stale tmp dir only when its owner cannot still be
+            # writing it: our own pid (we recreate just-in-time below
+            # anyway), or a pid that is no longer alive (crashed
+            # writer). A LIVE foreign pid's in-progress dir must
+            # survive, or its os.rename commit fails mid-write.
+            pid_s = os.path.basename(d).rsplit(".tmp.", 1)[1]
+            try:
+                pid = int(pid_s)
+            except ValueError:
+                continue
+            if pid != os.getpid():
+                try:
+                    os.kill(pid, 0)  # signal 0: existence check only
+                    continue  # owner alive: leave its dir alone
+                except ProcessLookupError:
+                    pass  # owner dead: safe to reap
+                except PermissionError:
+                    continue  # alive, different user
             shutil.rmtree(d, ignore_errors=True)
     out: dict[int, int] = {}
     for e in epochs if epochs is not None else list_epochs(cfg):

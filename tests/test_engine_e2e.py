@@ -591,3 +591,65 @@ def test_apply_pending_skips_completed_epochs(tmp_root):
     assert lg.num_rows >= 1
     assert pending_epochs(cfg) == []
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_empty_epoch_dir_drains_from_frontier(tmp_root):
+    """A crashed WAL writer can leave an epoch dir with ZERO committed
+    segments (the dir is created before the first atomic segment
+    write). Both apply paths must mark such an epoch complete, or it
+    stays in pending_epochs forever and every tail tick re-lists it
+    (round-4 review fix)."""
+    from lakecdc import wal
+    from lakecdc.apply import apply_pending, pending_epochs
+    from lakecdc.exchange import apply_all_direct, apply_pending_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2)
+    apply_all_direct(cfg, fold=2)
+    before = read_lake_local(cfg)
+
+    # crashed writer: epoch dir exists, no segments inside
+    os.makedirs(wal.epoch_dir(cfg, 2))
+    assert pending_epochs(cfg) == [2]
+    assert apply_pending_direct(cfg).num_rows == 0
+    assert pending_epochs(cfg) == []  # drained, not re-listed forever
+
+    os.makedirs(wal.epoch_dir(cfg, 3))
+    assert pending_epochs(cfg) == [3]
+    assert apply_pending(cfg).num_rows == 0  # Dataset path, same rule
+    assert pending_epochs(cfg) == []
+
+    # the lake itself is untouched by the empty epochs
+    pd.testing.assert_frame_equal(read_lake_local(cfg), before)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_quarantine_reaps_only_dead_owner_tmp_dirs(tmp_root):
+    """Stale quarantine tmp-dir collection: a crashed (dead-pid) tmp
+    dir is reaped on the next run, while a LIVE process's in-progress
+    tmp dir survives (its os.rename commit must not be sabotaged)."""
+    import subprocess
+
+    from lakecdc import wal as wal_mod
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=1, p_invalid=0.1)
+    apply_all(cfg)
+
+    base = os.path.join(cfg.root, "quarantine")
+    # dead owner: a real-but-exited pid
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = os.path.join(base, f"epoch=000000042.tmp.{p.pid}")
+    # live owner: pid 1 is always alive
+    live = os.path.join(base, "epoch=000000043.tmp.1")
+    # unparsable suffix: left alone (not ours to judge)
+    weird = os.path.join(base, "epoch=000000044.tmp.host-7")
+    for d in (dead, live, weird):
+        os.makedirs(d)
+
+    counts = wal_mod.quarantine_epochs(cfg)
+    assert sum(counts.values()) > 0
+    assert not os.path.isdir(dead)
+    assert os.path.isdir(live)
+    assert os.path.isdir(weird)

@@ -253,3 +253,47 @@ def test_winnow_corpus_matches_per_doc(texts, k, window):
         want = _winnow_doc(t, k, window, base)
         got = sel[doc_idx == i]
         assert got.tolist() == want.tolist(), (i, t)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=2, max_size=24, unique=True),
+    st.integers(1, 23),
+    st.integers(0, 2**32 - 1),
+)
+def test_shard_tile_pairs_invariant_to_shard_id_order(ids, cut, seed):
+    """The within-cell shard-pair tiling must emit the SAME oriented
+    pair set however the cell's rows were split into shards — in
+    particular when the split interleaves id ranges (shards are built
+    in ray.data batch-ARRIVAL order, which is unordered). Regression:
+    the off-diagonal `a < b` filter silently dropped pairs whose
+    shard-i id exceeded their shard-j id."""
+    import numpy as np
+
+    from lakecdc.dedup import shard_tile_pairs
+
+    rng = np.random.default_rng(seed)
+    ids_arr = np.array(ids, dtype=np.int64)
+    rng.shuffle(ids_arr)  # unsorted arrival order
+    V = rng.standard_normal((len(ids_arr), 8))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    thr = 0.0  # dense threshold: maximize pairs under test
+    cut = min(cut, len(ids_arr) - 1)
+
+    def pairs(shards):
+        out = set()
+        for i in range(len(shards)):
+            for j in range(i, len(shards)):
+                ia, va = shards[i]
+                ib, vb = shards[j]
+                lo, hi, _ = shard_tile_pairs(
+                    ia, va, ib, vb, diagonal=(i == j), threshold=thr
+                )
+                for a, b in zip(lo, hi):
+                    assert a < b
+                    assert (a, b) not in out  # exactly-once per pair
+                    out.add((int(a), int(b)))
+        return out
+
+    one = pairs([(ids_arr, V)])
+    two = pairs([(ids_arr[:cut], V[:cut]), (ids_arr[cut:], V[cut:])])
+    assert two == one
