@@ -34,7 +34,7 @@ from lakecdc import manifest, wal
 from lakecdc.config import EngineConfig, OP_DELETE, atomic_write
 from lakecdc.evolve import conform, unify_concat
 from lakecdc.merge import compact_events, compact_keep_mask, merge_partition
-from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA
+from lakecdc.schemas import LAKE_FILE_SCHEMA, LINEAGE_SCHEMA, lake_write_options
 from lakecdc.shuffle import with_bucket
 
 _LAKE_FILE_SCHEMA_V0 = pa.schema(
@@ -250,7 +250,13 @@ def merge_and_commit(
 
     path = cfg.partition_epoch_file(bucket, epoch)
     atomic_write(
-        path, lambda tmp: pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+        path,
+        lambda tmp: pq.write_table(
+            merged,
+            tmp,
+            row_group_size=cfg.max_rows_per_file,
+            **lake_write_options(merged.schema),
+        ),
     )
     bytes_written = os.path.getsize(path)
 
@@ -325,7 +331,13 @@ def _merge_and_commit_partial(
 
     path = cfg.partition_epoch_file(bucket, epoch)
     atomic_write(
-        path, lambda tmp: pq.write_table(merged, tmp, row_group_size=cfg.max_rows_per_file)
+        path,
+        lambda tmp: pq.write_table(
+            merged,
+            tmp,
+            row_group_size=cfg.max_rows_per_file,
+            **lake_write_options(merged.schema),
+        ),
     )
     record = {
         "epoch": epoch,

@@ -35,7 +35,7 @@ import ray
 from lakecdc import manifest
 from lakecdc.config import EngineConfig, atomic_write
 from lakecdc.evolve import unify_concat
-from lakecdc.schemas import LAKE_FILE_SCHEMA
+from lakecdc.schemas import LAKE_FILE_SCHEMA, lake_write_options
 
 
 @ray.remote
@@ -63,7 +63,13 @@ def _compact_partition(
         live = table.filter(pc.invert(table["_deleted"]))
     path = cfg.partition_compact_file(bucket, as_epoch)
     atomic_write(
-        path, lambda tmp: pq.write_table(live, tmp, row_group_size=cfg.max_rows_per_file)
+        path,
+        lambda tmp: pq.write_table(
+            live,
+            tmp,
+            row_group_size=cfg.max_rows_per_file,
+            **lake_write_options(live.schema),
+        ),
     )
     from lakecdc.apply import _key_range
 

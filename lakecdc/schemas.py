@@ -121,3 +121,28 @@ def wal_write_options(schema: pa.Schema) -> dict:
         "column_encoding": enc,
         "version": "2.6",
     }
+
+
+def lake_write_options(schema: pa.Schema) -> dict:
+    """Parquet writer options for LAKE partition files (apply merge,
+    compaction). Same delta-packed integer discipline as the WAL
+    (`_lsn`/per-field LSNs/`n_tok`/token payloads — the merge and
+    read paths are DRAM-bandwidth-bound, and delta decode streams
+    fewer bytes), but dictionary encoding ONLY on the low-cardinality
+    `source` column: lake `doc_id` is UNIQUE per row (one live row per
+    key after LWW), where a dictionary stores every value once PLUS an
+    index — pure inflation, the opposite of the WAL case where Zipf
+    doc_ids repeat across events."""
+    names = set(schema.names)
+    enc = {
+        c: "DELTA_BINARY_PACKED"
+        for c in ("n_tok", "_lsn", "_del_lsn", "_tokens_lsn", "_source_lsn")
+        if c in names
+    }
+    if "tokens" in names:
+        enc["tokens.list.element"] = "DELTA_BINARY_PACKED"
+    return {
+        "use_dictionary": [c for c in ("source",) if c in names],
+        "column_encoding": enc,
+        "version": "2.6",
+    }
