@@ -653,3 +653,46 @@ def test_quarantine_reaps_only_dead_owner_tmp_dirs(tmp_root):
     assert not os.path.isdir(dead)
     assert os.path.isdir(live)
     assert os.path.isdir(weird)
+
+
+def test_storage_encodings_pinned(tmp_root):
+    """Pin the measured parquet encodings (BASELINE.md round 4): WAL
+    segments delta-pack sequential ints and dictionary-encode the
+    Zipf-repeating doc_id; LAKE files delta-pack ints but keep doc_id
+    PLAIN (unique per row after LWW — a dictionary would store every
+    value once PLUS an index). A silent demotion to PLAIN int columns
+    (32 bits/token) is the regression this guards against."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=1)
+    apply_all(cfg)
+
+    def col_enc(path):
+        rg = pq.ParquetFile(path).metadata.row_group(0)
+        return {
+            rg.column(i).path_in_schema: set(rg.column(i).encodings)
+            for i in range(rg.num_columns)
+        }
+
+    wal_f = _glob.glob(os.path.join(cfg.wal_dir, "**", "*.parquet"), recursive=True)[0]
+    we = col_enc(wal_f)
+    assert "DELTA_BINARY_PACKED" in we["lsn"]
+    assert "DELTA_BINARY_PACKED" in we["tokens.list.element"]
+    assert "RLE_DICTIONARY" in we["doc_id"] or "PLAIN_DICTIONARY" in we["doc_id"]
+
+    lake_f = _glob.glob(os.path.join(cfg.lake_dir, "**", "*.parquet"), recursive=True)[0]
+    le = col_enc(lake_f)
+    assert "DELTA_BINARY_PACKED" in le["_lsn"]
+    assert "DELTA_BINARY_PACKED" in le["tokens.list.element"]
+    assert "RLE_DICTIONARY" not in le["doc_id"]  # unique: dict only inflates
+
+    # compaction keeps the lake discipline
+    compaction.compact(cfg)
+    cf = _glob.glob(
+        os.path.join(cfg.lake_dir, "**", "*.parquet"), recursive=True
+    )
+    ce = col_enc(sorted(cf)[-1])
+    assert "DELTA_BINARY_PACKED" in ce["tokens.list.element"]
