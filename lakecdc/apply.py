@@ -84,7 +84,11 @@ def make_prep_fn(num_buckets: int, merge_engine: str = "lww"):
             valid = valid.append_column(
                 "_invalid", pa.array([False] * valid.num_rows, type=pa.bool_())
             )
-            n_bad = batch.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+            # `or 0`: pc.sum of a zero-row mask is null, and a zero-row
+            # batch (empty resubmit epoch) must not TypeError the apply
+            n_bad = batch.num_rows - (
+                pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            )
             if n_bad:
                 bad = batch.filter(pc.invert(mask))
                 bad = bad.set_column(
@@ -441,7 +445,14 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    base_epoch = epochs[0] - 1
+    # Base view as of the COMMIT epoch - 1, not epochs[0] - 1: a fold
+    # over a non-contiguous pending list (an epoch inside the span was
+    # already applied out of order) must keep that committed epoch's
+    # rows in the input view, or the fold's base supersedes them away.
+    # For the normal contiguous case the two are identical — pending
+    # epochs have no manifest records. Folded epochs' own partial
+    # commits (crashed earlier run) are idempotent under LWW re-merge.
+    base_epoch = epoch - 1
     if cfg.merge_concurrency:
         # Stateful actor pool: each actor scans the manifest once in
         # __init__ (amortized over many partitions per actor).
@@ -474,6 +485,20 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
 
 
+def fold_chunks(epochs: list[int], fold: int, apply_fn) -> pa.Table:
+    """Chunk ``epochs`` into ``fold``-sized folds and concat the
+    lineage — THE shared driver loop of apply_pending/apply_all on
+    both engines (the fold semantics live in apply_epochs[_direct];
+    this is only the chunk-and-concat)."""
+    step = max(fold, 1)
+    tables = [
+        apply_fn(epochs[i : i + step]) for i in range(0, len(epochs), step)
+    ]
+    if not tables:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
 def pending_epochs(cfg: EngineConfig) -> list[int]:
     """WAL epochs with no completion marker — the apply frontier. Cost
     is one manifest-directory stat per epoch, never an event read."""
@@ -488,14 +513,9 @@ def apply_pending(cfg: EngineConfig, fold: int = 1) -> pa.Table:
     path: it re-applies everything (committed partitions no-op
     byte-identically), which is what you want after manually clearing
     manifest records, never per poll."""
-    epochs = pending_epochs(cfg)
-    tables = [
-        apply_epochs(cfg, epochs[i : i + max(fold, 1)])
-        for i in range(0, len(epochs), max(fold, 1))
-    ]
-    if not tables:
-        return LINEAGE_SCHEMA.empty_table()
-    return pa.concat_tables(tables)
+    return fold_chunks(
+        pending_epochs(cfg), fold, lambda es: apply_epochs(cfg, es)
+    )
 
 
 def apply_all(
@@ -510,9 +530,4 @@ def apply_all(
         for e in wal.list_epochs(cfg)
         if max_epoch is None or e <= max_epoch
     ]
-    tables = []
-    for i in range(0, len(epochs), max(fold, 1)):
-        tables.append(apply_epochs(cfg, epochs[i : i + max(fold, 1)]))
-    if not tables:
-        return LINEAGE_SCHEMA.empty_table()
-    return pa.concat_tables(tables)
+    return fold_chunks(epochs, fold, lambda es: apply_epochs(cfg, es))

@@ -40,27 +40,55 @@ from lakecdc.schemas import LAKE_FILE_SCHEMA, lake_write_options
 
 @ray.remote
 def _compact_partition(
-    cfg: EngineConfig, bucket: int, files: list, watermark: int, as_epoch: int
+    cfg: EngineConfig,
+    bucket: int,
+    files: list,
+    watermark: int,
+    as_epoch: int,
+    retain_ids: list[str] | None = None,
 ) -> dict:
     if manifest.is_committed(cfg, as_epoch, bucket, compaction=True):
         return manifest.read_record(cfg, as_epoch, bucket, compaction=True)["lineage"]
     if cfg.merge_engine == "partial":
+        from lakecdc.evolve import unify_concat as _uc
         from lakecdc.partial import fold_cells, normalize_cells
         from lakecdc.schemas import PARTIAL_FILE_SCHEMA
 
         table = fold_cells(
             unify_concat([pq.read_table(f) for f in files], PARTIAL_FILE_SCHEMA)
         )
-        dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
-        live = normalize_cells(table)
+        # Rows whose doc_id still sits in the dead-letter quarantine
+        # keep their FULL cell state (delete fences intact): a later
+        # repair+resubmit re-enters LWW order with its ORIGINAL
+        # (lower) LSNs, and only the fence stops it from resurrecting
+        # deleted state. Everything else compacts as before.
+        if retain_ids:
+            retain_mask = pc.is_in(
+                table["doc_id"], value_set=pa.array(retain_ids)
+            )
+            retained = table.filter(retain_mask)
+            rest = table.filter(pc.invert(retain_mask))
+        else:
+            retained, rest = None, table
+        dropped = pc.sum(pc.cast(rest["_deleted"], pa.int64())).as_py() or 0
+        live = normalize_cells(rest)
+        if retained is not None and retained.num_rows:
+            live = _uc([live, retained], PARTIAL_FILE_SCHEMA)
     else:
         from lakecdc.merge import last_per_key
 
         table = unify_concat([pq.read_table(f) for f in files], LAKE_FILE_SCHEMA)
         # Fold the base+delta chain (merge-on-read) to current state first.
         table = last_per_key(table, key="doc_id", order="_lsn")
-        dropped = pc.sum(pc.cast(table["_deleted"], pa.int64())).as_py() or 0
-        live = table.filter(pc.invert(table["_deleted"]))
+        keep = pc.invert(table["_deleted"])
+        if retain_ids:
+            # Tombstones for quarantined doc_ids are RETAINED — the
+            # lower-LSN repair path needs them (see partial branch).
+            keep = pc.or_(
+                keep, pc.is_in(table["doc_id"], value_set=pa.array(retain_ids))
+            )
+        dropped = table.num_rows - (pc.sum(pc.cast(keep, pa.int64())).as_py() or 0)
+        live = table.filter(keep)
     path = cfg.partition_compact_file(bucket, as_epoch)
     atomic_write(
         path,
@@ -88,50 +116,68 @@ def _compact_partition(
             "rows_deleted": int(dropped),  # tombstones physically removed
             "rows_invalid": 0,
             "bytes_written": int(os.path.getsize(path)),
-            "rows_live": int(live.num_rows),
-            "rows_tombstoned": 0,
+            # retained quarantine-fence tombstones stay counted as such
+            "rows_live": int(
+                pc.sum(pc.cast(pc.invert(live["_deleted"]), pa.int64())).as_py() or 0
+            ),
+            "rows_tombstoned": int(
+                pc.sum(pc.cast(live["_deleted"], pa.int64())).as_py() or 0
+            ),
         },
     }
     manifest.commit(cfg, record)
     return record["lineage"]
 
 
-def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
-    """Tombstone-compact every partition, committing the rewrites as
-    compaction records at epoch ``as_epoch`` (default: the latest
-    committed epoch — compaction records have their own namespace and
-    supersede that epoch's apply records, so the epoch counter never
-    advances and a later WAL epoch with the next number applies
-    normally). Idempotent and resumable exactly like an apply.
+def compact(
+    cfg: EngineConfig,
+    as_epoch: int | None = None,
+    partitions: set[int] | None = None,
+) -> dict[int, dict]:
+    """Tombstone-compact partitions (all by default, or just
+    ``partitions``), committing the rewrites as compaction records at
+    epoch ``as_epoch`` (default: the latest committed epoch —
+    compaction records have their own namespace and supersede that
+    epoch's apply records, so the epoch counter never advances and a
+    later WAL epoch with the next number applies normally). Idempotent
+    and resumable exactly like an apply.
 
-    Refuses to run while the WAL is ahead of the manifest (unapplied
-    epochs, or the newest epoch's apply incomplete): compacting then
-    would fold a chain that the pending apply still extends. Passing
-    ``as_epoch`` explicitly bypasses the completeness guard (caller
-    asserts the chain is final up to that epoch).
-    """
+    Refuses to run while ANY WAL epoch lacks a completion marker —
+    including one numbered BELOW the newest commit (an out-of-order
+    ``apply_epoch`` call): compacting then would drop tombstones that
+    the pending lower-LSN events still need, and fold a chain the
+    pending apply still extends. Passing ``as_epoch`` explicitly
+    bypasses the guard (caller asserts the chain is final up to that
+    epoch); the fold and the watermark are then taken AS OF that
+    epoch, so later records never leak into the compacted base.
+
+    Tombstones for doc_ids still present in the dead-letter quarantine
+    are retained, not dropped: quarantine is the one sanctioned source
+    of lower-than-watermark LSNs (repair + resubmit keeps original
+    LSNs), and the retained tombstone is what fences a late repair
+    from resurrecting a deleted doc."""
     from lakecdc import wal
 
-    view = manifest.partition_view(cfg)
-    snap = manifest.snapshot(cfg)
+    view = manifest.partition_view(cfg, up_to_epoch=as_epoch)
+    snap = manifest.snapshot(cfg, up_to_epoch=as_epoch)
     if not view:
         return {}
     if as_epoch is None:
-        done = manifest.resume_point(cfg)
-        pending = [e for e in wal.list_epochs(cfg) if e > done]
+        pending = [
+            e for e in wal.list_epochs(cfg) if not manifest.epoch_complete(cfg, e)
+        ]
         if pending:
             raise RuntimeError(
-                f"cannot compact: WAL epochs {pending} not yet applied; run apply first"
+                f"cannot compact: WAL epochs {pending} not applied to completion; "
+                "run apply first"
             )
-        if not manifest.epoch_complete(cfg, done):
-            raise RuntimeError(
-                f"cannot compact: apply of epoch {done} did not run to completion; "
-                "re-run apply first"
-            )
-        as_epoch = done
+        as_epoch = manifest.resume_point(cfg)
+    retain = sorted(wal.quarantined_doc_ids(cfg))
+    if partitions is not None:
+        view = {b: files for b, files in view.items() if b in partitions}
     futures = {
         b: _compact_partition.remote(
-            cfg, b, files, snap[b]["lsn_watermark"], as_epoch
+            cfg, b, files, snap[b]["lsn_watermark"], as_epoch, retain or None
         )
         for b, files in view.items()
     }
@@ -139,19 +185,29 @@ def compact(cfg: EngineConfig, as_epoch: int | None = None) -> dict[int, dict]:
 
 
 def maybe_compact(cfg: EngineConfig, max_chain: int) -> dict[int, dict] | None:
-    """Auto-compaction policy: fold the lake when any partition's
-    merge-on-read file chain exceeds ``max_chain`` entries. The
-    operational knob for continuous MOR tailing (CLI
-    ``apply --compact-over N``): applies stay O(delta) while read
-    amplification is bounded by N. Returns compact()'s result, or
-    None when every chain is within bound."""
+    """Auto-compaction policy: fold exactly the partitions whose
+    merge-on-read file chain exceeds ``max_chain`` entries (never a
+    full-lake rewrite — one hot partition must not trigger
+    O(num_buckets) write amplification). The operational knob for
+    continuous MOR tailing (CLI ``apply --compact-over N``): applies
+    stay O(delta) while read amplification is bounded by N. Returns
+    compact()'s result, or None when every chain is within bound or
+    when a producer wrote a new WAL epoch since this tick's apply (the
+    follow loop's next tick applies it and re-checks — a skipped fold,
+    not a crash)."""
     chains = manifest.partition_chain_stats(cfg)
     if not chains:
         return None
-    longest = max(len(entries) for entries in chains.values())
-    if longest <= max_chain:
+    over = {b for b, entries in chains.items() if len(entries) > max_chain}
+    if not over:
         return None
-    return compact(cfg)
+    try:
+        return compact(cfg, partitions=over)
+    except RuntimeError:
+        # WAL moved ahead between this tick's apply and now (live
+        # producer): skip — compaction is maintenance, never worth
+        # killing the tailer over; the next tick retries.
+        return None
 
 
 def vacuum(cfg: EngineConfig, retain_epochs: int = 0) -> list[str]:

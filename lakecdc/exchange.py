@@ -156,7 +156,9 @@ def apply_epochs_direct(
     # (partition_view), not just the latest record: over a
     # merge-on-read lake the newest record is only a delta, and a CoW
     # merge seeded from it alone would silently drop all older rows.
-    prev = manifest.partition_view(cfg, up_to_epoch=epochs[0] - 1)
+    # Commit-epoch-relative base view (see apply.apply_epochs): keeps
+    # an out-of-order-committed epoch inside the fold span visible.
+    prev = manifest.partition_view(cfg, up_to_epoch=epoch - 1)
     reduce_out = [
         _reduce_bucket.remote(
             cfg, epoch, b, prev.get(b), *[refs[b // per] for refs in map_out]
@@ -178,15 +180,12 @@ def apply_epochs_direct(
 def apply_all_direct(
     cfg: EngineConfig, max_epoch: int | None = None, fold: int = 1
 ) -> pa.Table:
+    from lakecdc.apply import fold_chunks
+
     epochs = [
         e for e in wal.list_epochs(cfg) if max_epoch is None or e <= max_epoch
     ]
-    tables = []
-    for i in range(0, len(epochs), max(fold, 1)):
-        tables.append(apply_epochs_direct(cfg, epochs[i : i + max(fold, 1)]))
-    if not tables:
-        return LINEAGE_SCHEMA.empty_table()
-    return pa.concat_tables(tables)
+    return fold_chunks(epochs, fold, lambda es: apply_epochs_direct(cfg, es))
 
 
 def apply_pending_direct(cfg: EngineConfig, fold: int = 1) -> pa.Table:
@@ -194,13 +193,8 @@ def apply_pending_direct(cfg: EngineConfig, fold: int = 1) -> pa.Table:
     tail tick on the scale engine — only epochs without a completion
     marker are read, so one tick costs O(new data) regardless of WAL
     length (apply_all_direct stays the full-replay resync)."""
-    from lakecdc.apply import pending_epochs
+    from lakecdc.apply import fold_chunks, pending_epochs
 
-    epochs = pending_epochs(cfg)
-    tables = [
-        apply_epochs_direct(cfg, epochs[i : i + max(fold, 1)])
-        for i in range(0, len(epochs), max(fold, 1))
-    ]
-    if not tables:
-        return LINEAGE_SCHEMA.empty_table()
-    return pa.concat_tables(tables)
+    return fold_chunks(
+        pending_epochs(cfg), fold, lambda es: apply_epochs_direct(cfg, es)
+    )

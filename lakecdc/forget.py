@@ -75,6 +75,11 @@ def forget(
     # replay (the tombstone LSNs already out-order every pending event,
     # so applying just the frontier converges to the same state).
     apply_pending(cfg)
+    # The dead-letter quarantine holds full payload COPIES under this
+    # engine's custody — scrub the victims there too, BEFORE compacting
+    # (compaction retains tombstones for still-quarantined doc_ids, and
+    # a scrubbed victim needs no fence, so its tombstone can drop).
+    wal.purge_quarantined_doc_ids(cfg, ids)
     compact(cfg)
     deleted: list[str] = []
     if vacuum_files:
@@ -83,13 +88,21 @@ def forget(
 
 
 def assert_forgotten(cfg: EngineConfig, doc_ids: list[str]) -> None:
-    """Byte-level erasure audit: no surviving lake file may contain any
-    of the doc_ids. One Ray task per file (doc_id column only leaves
-    storage), so the audit parallelizes across the cluster instead of
-    serializing through the driver. Raises AssertionError naming the
-    offending files."""
+    """Byte-level erasure audit: no surviving lake OR quarantine file
+    may contain any of the doc_ids (quarantine holds payload copies of
+    invalid events — engine custody, same erasure obligation). One Ray
+    task per file (doc_id column only leaves storage), so the audit
+    parallelizes across the cluster instead of serializing through the
+    driver. Raises AssertionError naming the offending files."""
     wanted = sorted(set(str(d) for d in doc_ids))
     files = glob.glob(os.path.join(cfg.lake_dir, "part=*", "epoch=*", "*.parquet"))
+    files += [
+        f
+        for d in glob.glob(os.path.join(cfg.root, "quarantine", "epoch=*"))
+        if ".tmp." not in os.path.basename(d)
+        and ".trash." not in os.path.basename(d)
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    ]
     ref = ray.put(wanted)
     hits = ray.get([_scan_file.remote(f, ref) for f in files])
     bad = [h for h in hits if h]

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from lakecdc.config import OP_DELETE, VALID_OPS
+from lakecdc.config import OP_DELETE
 from lakecdc.evolve import conform, unify_concat
 from lakecdc.schemas import LAKE_FILE_SCHEMA
 
@@ -57,12 +57,13 @@ def validate_events(table: pa.Table) -> tuple[pa.Table, int]:
     """
     if table.num_rows == 0:
         return table, 0
-    ok = pc.is_in(table["op"], value_set=pa.array(sorted(VALID_OPS)))
-    ok = pc.and_(ok, pc.is_valid(table["doc_id"]))
-    ok = pc.and_(ok, pc.is_valid(table["lsn"]))
-    is_delete = pc.equal(table["op"], OP_DELETE)
-    ok = pc.and_(ok, pc.or_(is_delete, pc.is_valid(table["tokens"])))
-    n_bad = table.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py()
+    # THE production mask (apply._validation_mask) — this helper is a
+    # thin drop-and-count wrapper over it, never a second
+    # implementation of the validity rules (they drifted once).
+    from lakecdc.apply import _validation_mask
+
+    ok = _validation_mask(table)
+    n_bad = table.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
     if n_bad:
         table = table.filter(ok)
     # Enforce the n_tok == len(tokens) invariant (null for deletes).

@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pyarrow as pa
 import ray.data as rd
 
 from lakecdc.config import EngineConfig
@@ -213,6 +214,52 @@ def read_quarantine(cfg: EngineConfig, epoch: int) -> rd.Dataset:
     if not files:
         return rd.from_arrow(WAL_SCHEMA_V1.empty_table())
     return rd.read_parquet(files)
+
+
+def quarantined_doc_ids(cfg: EngineConfig) -> set[str]:
+    """Every doc_id with at least one event in the dead-letter
+    quarantine. Quarantine is the ONE sanctioned source of
+    lower-than-watermark LSNs (resubmit keeps original LSNs), so
+    compaction retains tombstones for exactly these ids — the fence a
+    late repair must hit. Invalid events are rare by construction, so
+    this is a metadata-scale scan (doc_id column only)."""
+    import pyarrow.parquet as pq
+
+    ids: set[str] = set()
+    for d in glob.glob(os.path.join(cfg.root, "quarantine", "epoch=*")):
+        if ".tmp." in os.path.basename(d) or ".trash." in os.path.basename(d):
+            continue
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            col = pq.read_table(f, columns=["doc_id"])["doc_id"]
+            ids.update(x for x in col.to_pylist() if x)
+    return ids
+
+
+def purge_quarantined_doc_ids(cfg: EngineConfig, doc_ids: list[str]) -> int:
+    """Remove every event for ``doc_ids`` from the dead-letter
+    quarantine (right-to-be-forgotten: quarantine files hold full
+    payload copies under this engine's custody, unlike the upstream
+    WAL). Atomic per file; returns the number of rows purged."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lakecdc.config import atomic_write
+
+    wanted = pa.array(sorted(set(str(d) for d in doc_ids)))
+    purged = 0
+    for d in glob.glob(os.path.join(cfg.root, "quarantine", "epoch=*")):
+        if ".tmp." in os.path.basename(d) or ".trash." in os.path.basename(d):
+            continue
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(f)
+            mask = pc.is_in(t["doc_id"], value_set=wanted)
+            n_hit = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if not n_hit:
+                continue
+            kept = t.filter(pc.invert(mask))
+            atomic_write(f, lambda tmp, k=kept: pq.write_table(k, tmp))
+            purged += n_hit
+    return purged
 
 
 def resubmit_epoch(cfg: EngineConfig, table) -> int:

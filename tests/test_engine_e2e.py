@@ -696,3 +696,110 @@ def test_storage_encodings_pinned(tmp_root):
     )
     ce = col_enc(sorted(cf)[-1])
     assert "DELTA_BINARY_PACKED" in ce["tokens.list.element"]
+
+
+def _wal_events(rows):
+    """rows: (lsn, op, doc_id, tokens|None) -> WAL v1 event table."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], type=pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "doc_id": pa.array([r[2] for r in rows]),
+            "tokens": pa.array(
+                [r[3] for r in rows], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(
+                [len(r[3]) if r[3] is not None else 0 for r in rows],
+                type=pa.int32(),
+            ),
+            "source": pa.nulls(len(rows), type=pa.string()),
+        }
+    )
+
+
+def test_out_of_order_epoch_apply_guard_and_gapped_fold(tmp_root):
+    """An epoch applied OUT OF ORDER (public apply_epoch on a later
+    epoch while earlier ones are pending) must (a) block compaction —
+    the guard checks completion markers, not just epochs above the
+    newest commit — and (b) stay visible in the base view when the
+    remaining epochs fold around it: the fold's view is as of the
+    COMMIT epoch, so the gap epoch's committed rows are merged, not
+    superseded away (round-4 review fix, both apply paths)."""
+    import pytest as _pytest
+
+    from lakecdc.apply import apply_epoch, apply_epochs, pending_epochs
+    from lakecdc.compact import compact
+    from lakecdc.exchange import apply_epochs_direct
+
+    for path_name, fold_fn in (
+        ("dataset", apply_epochs),
+        ("direct", apply_epochs_direct),
+    ):
+        cfg = make_cfg(os.path.join(tmp_root, path_name))
+        gen(cfg, n_epochs=3)
+        apply_epoch(cfg, 1)  # out of order: 0 and 2 still pending
+        assert pending_epochs(cfg) == [0, 2]
+        with _pytest.raises(RuntimeError, match="not applied"):
+            compact(cfg)  # the LOWER pending epoch must trip the guard
+        fold_fn(cfg, [0, 2])  # gapped fold around the committed epoch 1
+        assert pending_epochs(cfg) == []
+        oracle.assert_lake_equals_oracle(
+            read_lake_local(cfg), oracle.replay(cfg.wal_dir)
+        )
+
+
+def test_resubmit_after_compaction_cannot_resurrect(tmp_root):
+    """Compaction retains tombstones for doc_ids still sitting in the
+    dead-letter quarantine: quarantine is the one sanctioned source of
+    lower-than-watermark LSNs (repair keeps original LSNs), and the
+    retained tombstone is the fence. Without it, the repaired event
+    would re-enter the lake as the doc's only row — resurrecting a
+    deleted doc and breaking 'late repairs can never clobber newer
+    data'."""
+    from lakecdc import wal as wal_mod
+    from lakecdc.apply import apply_pending
+    from lakecdc.compact import compact
+
+    cfg = make_cfg(tmp_root)
+    # epoch 0: valid insert of X; INVALID update of X (null tokens)
+    wal_mod.resubmit_epoch(
+        cfg,
+        _wal_events(
+            [(1, "insert", "doc-x", [1, 2]), (2, "update", "doc-x", None)]
+        ),
+    )
+    # epoch 1: delete X
+    wal_mod.resubmit_epoch(cfg, _wal_events([(10, "delete", "doc-x", None)]))
+    apply_all(cfg)
+    wal_mod.quarantine_epochs(cfg)
+    assert wal_mod.quarantined_doc_ids(cfg) == {"doc-x"}
+    compact(cfg)
+
+    # repair the quarantined event (fix the payload, KEEP lsn 2),
+    # resubmit, apply: the retained tombstone (lsn 10) must win.
+    wal_mod.resubmit_epoch(cfg, _wal_events([(2, "update", "doc-x", [3, 4])]))
+    apply_pending(cfg)
+    lake = read_lake_local(cfg)
+    assert "doc-x" not in set(lake["doc_id"])
+    oracle.assert_lake_equals_oracle(lake, oracle.replay(cfg.wal_dir))
+
+
+def test_forget_scrubs_quarantine_too(tmp_root):
+    """Right-to-be-forgotten must also erase the victim's payload
+    copies in the dead-letter quarantine (engine custody), and the
+    byte-level audit now scans quarantine files alongside the lake."""
+    from lakecdc import wal as wal_mod
+    from lakecdc.forget import assert_forgotten, forget
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2, p_invalid=0.15)
+    apply_all(cfg)
+    wal_mod.quarantine_epochs(cfg)
+    qids = wal_mod.quarantined_doc_ids(cfg)
+    assert qids  # fixture must exercise the flow
+    victim = sorted(qids)[0]
+    forget(cfg, [victim])
+    assert victim not in wal_mod.quarantined_doc_ids(cfg)
+    assert_forgotten(cfg, [victim])  # lake AND quarantine byte-clean

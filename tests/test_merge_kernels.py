@@ -152,3 +152,16 @@ def test_merge_deterministic_bytes():
         pq.write_table(merged, b)
         bufs.append(b.getvalue())
     assert bufs[0] == bufs[1]
+
+
+def test_prep_fns_tolerate_zero_row_batches():
+    """A zero-row WAL segment (e.g. an empty resubmit epoch) must flow
+    through BOTH prep stages — pc.sum over an empty mask is null, and
+    `0 - None` used to TypeError the partial path."""
+    from lakecdc.apply import make_prep_fn
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    for engine in ("lww", "partial"):
+        out = make_prep_fn(8, engine)(WAL_SCHEMA_V1.empty_table())
+        assert out.num_rows == 0
+        assert "bucket" in out.column_names

@@ -188,7 +188,7 @@ def test_compact_refuses_unapplied_wal(tmp_root):
     cfg = make_cfg(tmp_root)
     gen(cfg, n_epochs=3)
     apply_all(cfg, max_epoch=1)
-    with pytest.raises(RuntimeError, match="not yet applied"):
+    with pytest.raises(RuntimeError, match="not applied"):
         compact(cfg)
 
 
@@ -263,3 +263,53 @@ def test_vacuum_collects_crash_orphan_files(tmp_root):
     assert any(os.path.basename(d) == os.path.basename(orphan) for d in deleted)
     assert not os.path.exists(orphan)
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_maybe_compact_selective_and_tailer_safe(tmp_root):
+    """maybe_compact folds ONLY the over-threshold partitions (one hot
+    chain must not trigger an O(num_buckets) full-lake rewrite), and
+    returns None instead of raising when a live producer wrote a new
+    WAL epoch between the tick's apply and the auto-compact call — the
+    --follow tailer must never die over skippable maintenance."""
+    import pyarrow as pa
+
+    from lakecdc import wal as wal_mod
+    from lakecdc.compact import maybe_compact
+
+    cfg = make_cfg(tmp_root, write_mode="mor", num_buckets=8)
+    gen(cfg, n_epochs=2)
+    apply_all(cfg)
+
+    # grow ONE partition's chain: repeated single-doc epochs all land
+    # in hash(doc)'s bucket
+    def one_doc_epoch(lsn):
+        wal_mod.resubmit_epoch(
+            cfg,
+            pa.table(
+                {
+                    "lsn": pa.array([lsn], type=pa.int64()),
+                    "op": pa.array(["upsert"]),
+                    "doc_id": pa.array(["hot-doc"]),
+                    "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+                    "n_tok": pa.array([2], type=pa.int32()),
+                    "source": pa.nulls(1, type=pa.string()),
+                }
+            ),
+        )
+
+    hi = wal_mod.max_lsn(cfg)
+    for k in range(4):
+        one_doc_epoch(hi + 1 + k)
+    apply_all(cfg)
+    chains = manifest.partition_chain_stats(cfg)
+    over = {b for b, e in chains.items() if len(e) > 3}
+    assert len(over) == 1  # exactly the hot bucket
+    res = maybe_compact(cfg, max_chain=3)
+    assert res is not None and set(res) == over  # selective, not full-lake
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+    # producer races ahead: new unapplied WAL epoch -> skip, don't crash
+    one_doc_epoch(wal_mod.max_lsn(cfg) + 1)
+    for k in range(4):
+        one_doc_epoch(wal_mod.max_lsn(cfg) + 1)
+    assert maybe_compact(cfg, max_chain=0) is None
