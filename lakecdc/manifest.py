@@ -113,21 +113,35 @@ def committed_partitions(cfg: EngineConfig, epoch: int) -> set[int]:
     return {int(os.path.basename(p).split("-")[1].split(".")[0]) for p in recs}
 
 
-def snapshot(cfg: EngineConfig, up_to_epoch: int | None = None) -> dict[int, dict]:
-    """Current lake view: partition -> its latest committed record
-    (optionally as of ``up_to_epoch``, i.e. time travel)."""
-    latest: dict[int, dict] = {}
+def _scan_records(
+    cfg: EngineConfig, up_to_epoch: int | None = None
+) -> list[tuple[int, int, int, dict]]:
+    """THE manifest scan — every committed record as (epoch, order,
+    partition, record), epochs ascending, a compaction record (order=1)
+    after the same epoch's apply records (it folded them, so it
+    supersedes them). snapshot / partition_view / partition_chain_stats
+    are all derived from this one pass, so the superseding rules live
+    in exactly one place and each record JSON is parsed once per
+    caller, not once per view flavor."""
+    out: list[tuple[int, int, int, dict]] = []
     for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
         epoch = int(os.path.basename(edir).split("=")[1])
         if up_to_epoch is not None and epoch > up_to_epoch:
             continue
-        # apply records first, then compaction records: within an epoch
-        # a compaction supersedes the apply records it folded
-        for pattern in ("part-*.json", "compact-*.json"):
+        for order, pattern in ((0, "part-*.json"), (1, "compact-*.json")):
             for p in glob.glob(os.path.join(edir, pattern)):
                 partition = int(os.path.basename(p).split("-")[1].split(".")[0])
                 with open(p) as f:
-                    latest[partition] = json.load(f)  # epochs scanned ascending
+                    out.append((epoch, order, partition, json.load(f)))
+    return out
+
+
+def snapshot(cfg: EngineConfig, up_to_epoch: int | None = None) -> dict[int, dict]:
+    """Current lake view: partition -> its latest committed record
+    (optionally as of ``up_to_epoch``, i.e. time travel)."""
+    latest: dict[int, dict] = {}
+    for _, _, partition, rec in _scan_records(cfg, up_to_epoch):
+        latest[partition] = rec  # scan order: last record wins
     return latest
 
 
@@ -147,26 +161,15 @@ def partition_view(
     Records without a `kind` field are bases (copy-on-write history).
     LWW-merging the chain (last_per_key by _lsn) yields the partition.
     """
-    chains: dict[int, list[tuple[int, int, str, list[str]]]] = {}
-    for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
-        epoch = int(os.path.basename(edir).split("=")[1])
-        if up_to_epoch is not None and epoch > up_to_epoch:
-            continue
-        # order=1 sorts a compaction record after the same epoch's
-        # apply records: it folded them, so it supersedes them
-        for order, pattern in ((0, "part-*.json"), (1, "compact-*.json")):
-            for p in glob.glob(os.path.join(edir, pattern)):
-                partition = int(os.path.basename(p).split("-")[1].split(".")[0])
-                with open(p) as f:
-                    rec = json.load(f)
-                chains.setdefault(partition, []).append(
-                    (epoch, order, rec.get("kind", "base"), rec["files"])
-                )
+    chains: dict[int, list[tuple[str, list[str]]]] = {}
+    for _, _, partition, rec in _scan_records(cfg, up_to_epoch):
+        chains.setdefault(partition, []).append(
+            (rec.get("kind", "base"), rec["files"])
+        )
     view: dict[int, list[str]] = {}
     for partition, entries in chains.items():
-        entries.sort()
         files: list[str] = []
-        for _, _, kind, fs in entries:
+        for kind, fs in entries:  # scan order IS (epoch, order) asc
             if kind == "base":
                 files = list(fs)  # a base supersedes everything before it
             else:
@@ -184,25 +187,16 @@ def partition_chain_stats(
     key (correct because the per-key fold is unaffected by files
     holding none of the requested keys); a missing range (older lakes)
     means "cannot skip"."""
-    chains: dict[int, list[tuple[int, int, str, dict]]] = {}
-    for edir in sorted(glob.glob(os.path.join(cfg.manifest_dir, "epoch=*"))):
-        epoch = int(os.path.basename(edir).split("=")[1])
-        if up_to_epoch is not None and epoch > up_to_epoch:
-            continue
-        for order, pattern in ((0, "part-*.json"), (1, "compact-*.json")):
-            for p in glob.glob(os.path.join(edir, pattern)):
-                partition = int(os.path.basename(p).split("-")[1].split(".")[0])
-                with open(p) as f:
-                    rec = json.load(f)
-                entry = {"files": rec["files"], "key_range": rec.get("key_range")}
-                chains.setdefault(partition, []).append(
-                    (epoch, order, rec.get("kind", "base"), entry)
-                )
+    chains: dict[int, list[tuple[str, dict]]] = {}
+    for _, _, partition, rec in _scan_records(cfg, up_to_epoch):
+        entry = {"files": rec["files"], "key_range": rec.get("key_range")}
+        chains.setdefault(partition, []).append(
+            (rec.get("kind", "base"), entry)
+        )
     view: dict[int, list[dict]] = {}
     for partition, entries in chains.items():
-        entries.sort(key=lambda t: (t[0], t[1]))
         out: list[dict] = []
-        for _, _, kind, entry in entries:
+        for kind, entry in entries:  # scan order IS (epoch, order) asc
             if kind == "base":
                 out = [entry]
             else:
