@@ -137,6 +137,16 @@ def ensure_wal_partial(sf_dir: str) -> tuple[str, int]:
 def run_bench() -> dict:
     import ray
 
+    # Default contention gate: the official per-round record should not
+    # be hostage to a co-tenant memory-bandwidth wave (documented 2-6x
+    # on this box). Bounded — waits at most GRAFT_BENCH_WAIT_S (default
+    # 900 s, 0 disables) and proceeds either way; the clearing (or
+    # timed-out) probe reading is stamped into the record so the run's
+    # host condition is self-evident. --scaling's child processes set
+    # GRAFT_BENCH_WAIT_S=0 and gate once in the parent instead.
+    wait_s = float(os.environ.get("GRAFT_BENCH_WAIT_S", "900"))
+    wait_probe = wait_clear(timeout_s=wait_s) if wait_s > 0 else None
+
     ray.init(
         address="local",
         num_cpus=NCPU,
@@ -369,6 +379,8 @@ def run_bench() -> dict:
     # Probe AFTER shutdown so its pool doesn't contend with Ray; it
     # stamps the session's host condition into the record.
     result["contention_probe"] = contention_probe(min(NCPU, 32))
+    if wait_probe is not None:
+        result["wait_clear_probe"] = wait_probe
     return result
 
 
@@ -388,6 +400,9 @@ def run_scaling() -> dict:
             # below already give best-of-N per level, and the 2-cpu
             # level is wall-clock expensive
             GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "1"),
+            # children never gate — the parent gates ONCE below, and the
+            # interleaved best-of-N already decorrelates wave timing
+            GRAFT_BENCH_WAIT_S="0",
         )
         out = subprocess.run(
             [sys.executable, here],
@@ -397,6 +412,12 @@ def run_scaling() -> dict:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # One bounded contention gate for the whole scaling session (same
+    # rationale and knobs as run_bench's default gate).
+    wait_s = float(os.environ.get("GRAFT_BENCH_WAIT_S", "900"))
+    if wait_s > 0:
+        wait_clear(timeout_s=wait_s)
 
     # Pre-generate the WAL at full parallelism so the lo run doesn't
     # pay generation with few cores (generation is never timed).
