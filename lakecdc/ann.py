@@ -386,6 +386,131 @@ class LSHIndex:
         return _topk_table(out_q, out_n, out_s)
 
 
+def _sq8_quantize(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-integer SQ8 codes for one batch: unit-scale each vector by
+    its norm, then 8-bit quantize. Every step is either exact integer
+    math or a single IEEE op on identical inputs, so DuckDB replays it
+    bit for bit (the ``_kmeans_sql`` discipline — no float-ORDER
+    sensitivity anywhere):
+
+      xq   = floor(x * 1e6)                  (exact int64)
+      ss   = sum(xq^2)                       (exact int64 — order-free)
+      nrm  = sqrt(double(ss))                (one correctly-rounded op)
+      code = floor(xq * 127 / max(nrm,1e-30) + 0.5)   (int8, |x|<=nrm
+                                              -> |code| <= 127)
+    """
+    ids = batch["vec_id"].to_numpy()
+    X = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+    )
+    Xq = np.floor(X * 1e6).astype(np.int64)
+    ss = (Xq * Xq).sum(axis=1)
+    nrm = np.maximum(np.sqrt(ss.astype(np.float64)), 1e-30)
+    Q = np.floor((Xq * 127) / nrm[:, None] + 0.5).astype(np.int8)
+    return ids, Q
+
+
+def build_sq8_shards_streaming(
+    sf_dir: str, flush_rows: int = 65_536
+) -> list["ray.ObjectRef"]:
+    """Memory-bounded SQ8 corpus build: one streaming sweep quantizes
+    each batch to int8 codes and flushes fixed-size (ids, codes) shards
+    to the object store — the resident corpus is 8x smaller than the
+    float64 brute-force path (1 byte/dim), the classic scalar-quantized
+    scale lever for billion-vector search. Driver peak memory is
+    O(flush_rows x d) int8, independent of corpus size."""
+    bufs: dict[int, list] = {}
+    shards: dict[int, list] = {}
+    flush = _make_flusher(bufs, shards, flush_rows)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids, Q = _sq8_quantize(b)
+        bufs.setdefault(0, []).append((ids, Q))
+        if sum(len(x[0]) for x in bufs[0]) >= flush_rows:
+            flush(0)
+    if 0 in bufs:
+        flush(0, final=True)
+    return shards.get(0, [])
+
+
+class SQ8Index:
+    """Scalar-quantized (int8) brute-force top-k as a stateful
+    actor-pool stage: the actor holds only the shard ref list; shards
+    are int8 and upcast to int32 per matmul (FAISS-style
+    decode-on-the-fly), so accumulation is exact integer — the score is
+    the integer dot product of two SQ8 codes and the whole query is
+    SQL-value-checkable (unlike float cosine reranks). Self excluded;
+    ties break (dot DESC, neighbor_id ASC) like the float path."""
+
+    def __init__(self, shard_refs: list, k: int = 5):
+        self.shard_refs = shard_refs
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "dot": pa.array([], type=pa.int64()),
+                }
+            )
+        qids, Qq = _sq8_quantize(batch)
+        Qi = Qq.astype(np.int32)
+        # per-shard exact top-k, then a tiny cross-shard merge
+        cand_i: list[np.ndarray] = []
+        cand_d: list[np.ndarray] = []
+        for ref in self.shard_refs:
+            sids, S = ray.get(ref)
+            dots = S.astype(np.int32) @ Qi.T  # (n_shard, b) exact int
+            for col in range(len(qids)):
+                d = dots[:, col]
+                top = np.lexsort((sids, -d))[: self.k + 1]  # +1 covers self
+                cand_i.append(sids[top])
+                cand_d.append(d[top].astype(np.int64))
+        out_q, out_n, out_s = [], [], []
+        n_shards = len(self.shard_refs)
+        for col in range(len(qids)):
+            ci = np.concatenate(cand_i[col::len(qids)]) if n_shards else np.array([], dtype=np.int64)
+            cd = np.concatenate(cand_d[col::len(qids)]) if n_shards else np.array([], dtype=np.int64)
+            keep = ci != qids[col]
+            ci, cd = ci[keep], cd[keep]
+            order = np.lexsort((ci, -cd))[: self.k]
+            out_q.extend([qids[col]] * len(order))
+            out_n.extend(ci[order].tolist())
+            out_s.extend(cd[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "dot": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+
+def ann_sq8(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """Int8 scalar-quantized ANN: streaming SQ8 build (8x smaller
+    resident corpus) + exact integer scoring. Deterministic and fully
+    SQL-replayable — the DuckDB oracle recomputes the identical integer
+    codes and dot products, so this is a driver-strength value check of
+    the quantized path; recall vs the float path is asserted in
+    pytest."""
+    shards = build_sq8_shards_streaming(sf_dir)
+    out = _query_stream(sf_dir, n_queries).map_batches(
+        SQ8Index,
+        fn_constructor_args=(shards,),
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+
 def ann_ivf(
     sf_dir: str, n_queries: int = 8, k: int = 5, nprobe: int | None = None
 ) -> pd.DataFrame:

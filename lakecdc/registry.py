@@ -282,7 +282,13 @@ QUERIES: dict[str, Callable] = {
     # index build / cell-ref fetch / rank-merge plumbing)
     "ann_ivf_verified": ann.ann_ivf_verified,
     "ann_lsh_verified": ann.ann_lsh_verified,
+    # int8 scalar-quantized ANN (8x smaller resident corpus): exact
+    # integer codes + integer dot scores, SQL-replayed below
+    "ann_sq8": ann.ann_sq8,
     "winnowing_fingerprints": text.winnowing_fingerprints,  # SQL-replayed below
+    # Gopher-style repetition filters (top-bigram / duplicated-trigram
+    # fractions), SQL-replayed below
+    "repetition_profile": text.repetition_profile,
     "contamination_check": text.contamination_check,  # probe-set decontamination
     # Rabin-style content-defined chunking (storage-dedup cut points),
     # same rolling-hash kernel, SQL-replayed below
@@ -354,7 +360,12 @@ _DRIVER_ORDER_HEAD = [
     "media_wav_features",
     "media_image_features",
     "ann_ivf_verified",
-    "ann_lsh_verified",
+    # round-4 addition: int8 scalar-quantized ANN — a distinct KERNEL
+    # (exact-integer SQ8 codes + integer dot scores), not another
+    # exhaustive-probe twin; takes ann_lsh_verified's slot (which
+    # shares ann_topk's oracle verbatim and went driver-green in r03;
+    # it stays SQL-checked every pytest run)
+    "ann_sq8",
     # round-3 addition: the CDC-maintained near-dup index (engine x
     # dedup crossover), value-checked via closed-form MinHash SQL
     "neardup_index_pairs",
@@ -397,10 +408,14 @@ _DRIVER_EXCLUDED = {
     "ann_ivf",  # (ann_ivf_verified: same code, exhaustive probe, value-checked;
     #  the approximate configuration's recall is asserted in pytest)
     "ann_lsh",  # (ann_lsh_verified: same rationale)
+    "ann_lsh_verified",  # (ann_topk: shares its oracle verbatim; driver-green
+    #  r03 — demoted in r04 to fund the ann_sq8 slot, stays SQL-checked in pytest)
     "fingerprint_census",  # (dup_key_census covers A7; exact_dedup covers the
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
     #  expressions inside the composite pipeline)
+    "repetition_profile",  # new in r04 (never had a driver row to defend);
+    #  SQL-value-checked every pytest run — first rotation candidate for r05
     "token_count",  # (corpus_prep's quality gate + rollup value-check the
     #  same whitespace token counting inside the composite pipeline)
     "token_count_regex",  # (same single-map shape as token_count; its RE2
@@ -1372,6 +1387,77 @@ ORACLES: dict[str, str] = {
           ON x.band = y.band AND x.bkey = y.bkey
          AND x.doc_id <> y.doc_id
         GROUP BY 1, 2
+    """,
+    # Exact replay of text.repetition_profile: same strip + \s+
+    # tokenization as quality_score's oracle, n-grams via list indexing
+    # (the _kmeans_sql LATERAL generate_series shape), fractions with
+    # the identical divide-then-scale float order.
+    "repetition_profile": r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT t.doc_id, t.w[gs.i] || ' ' || t.w[gs.i + 1] AS g
+            FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(t.w) - 1)) AS i) gs
+        ),
+        bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bga AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS n FROM bgc GROUP BY 1),
+        tg AS (
+            SELECT t.doc_id,
+                   t.w[gs.i] || ' ' || t.w[gs.i + 1] || ' ' || t.w[gs.i + 2] AS g
+            FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(t.w) - 2)) AS i) gs
+        ),
+        tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        tga AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                   SUM(c) AS n
+            FROM tgc GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               CAST(floor(COALESCE(CAST(b.top AS DOUBLE) / b.n, 0) * 1000000 + 0.5)
+                    AS BIGINT) AS top_bigram_frac_e6,
+               CAST(floor(COALESCE(CAST(g.dup AS DOUBLE) / g.n, 0) * 1000000 + 0.5)
+                    AS BIGINT) AS dup_trigram_frac_e6
+        FROM t
+        LEFT JOIN bga b USING (doc_id)
+        LEFT JOIN tga g USING (doc_id)
+    """,
+    # Exact replay of ann._sq8_quantize + SQ8Index: every step is
+    # integer math or one IEEE op on identical inputs (floor(x*1e6)
+    # codes -> exact int sum of squares -> sqrt -> floor(x*127/nrm+.5)
+    # int8 -> integer dot), so the quantized ANN is value-checkable —
+    # no float-order sensitivity anywhere (the _kmeans_sql discipline).
+    "ann_sq8": """
+        WITH xq AS (
+            SELECT e.vec_id, gs.d,
+                   CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS x
+            FROM embeddings e,
+                 LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs
+        ),
+        nrm AS (
+            SELECT vec_id,
+                   greatest(sqrt(CAST(SUM(x * x) AS DOUBLE)), 1e-30) AS nrm
+            FROM xq GROUP BY vec_id
+        ),
+        code AS (
+            SELECT xq.vec_id, xq.d,
+                   CAST(floor((xq.x * 127) / n.nrm + 0.5) AS BIGINT) AS c
+            FROM xq JOIN nrm n USING (vec_id)
+        ),
+        dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM code a JOIN code b ON a.d = b.d AND b.vec_id <> a.vec_id
+            WHERE a.vec_id < 8
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, dot
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) <= 5
     """,
     "ann_topk": """
         WITH sims AS (

@@ -97,6 +97,89 @@ def quality_score(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(f, batch_format="pyarrow").to_pandas()
 
 
+def repetition_profile(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition-quality signals per document: the
+    fraction of word bigrams taken by the single most frequent bigram
+    (``top_bigram_frac_e6``) and the fraction of word trigram
+    occurrences whose trigram value repeats within the doc
+    (``dup_trigram_frac_e6``) — the published repetition filters a
+    pretraining pipeline drops boilerplate/spam with.
+
+    Vectorized corpus-level kernel (no per-doc Python loop): the batch
+    explodes to one flat token array + doc offsets, n-grams are
+    adjacent rows masked to stay within a doc, and counts come from one
+    groupby over (doc, gram). Tokenization (strip + ``\\s+`` split)
+    matches ``quality_score``; fractions are floor(x*1e6+0.5)
+    fixed-point with the division-then-multiply order the SQL oracle
+    replays exactly.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "top_bigram_frac_e6": pa.array([], type=pa.int64()),
+                "dup_trigram_frac_e6": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        s = t["text"].to_pandas().str.strip()
+        toks = s.str.split(r"\s+", regex=True)
+        n = toks.str.len().fillna(0).astype("int64").to_numpy()
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in toks]
+        ) if n.sum() else np.array([], dtype=object)
+        doc = np.repeat(np.arange(len(n)), n)
+
+        def gram_stats(order: int):
+            """(per-doc total grams, per-doc top count, per-doc count
+            of occurrences in repeated grams) for ``order``-grams."""
+            if len(flat) < order:
+                z = np.zeros(len(n), dtype=np.int64)
+                return z, z, z
+            m = np.ones(len(flat) - order + 1, dtype=bool)
+            cols = {"doc": doc[: len(m)]}
+            for j in range(order):
+                m &= doc[j : j + len(m)] == doc[: len(m)]
+                cols[f"w{j}"] = flat[j : j + len(m)]
+            g = pd.DataFrame({k: v[m] for k, v in cols.items()})
+            cnt = g.groupby(list(cols), sort=False).size()
+            by_doc = cnt.groupby("doc")
+            total = np.zeros(len(n), dtype=np.int64)
+            top = np.zeros(len(n), dtype=np.int64)
+            dup = np.zeros(len(n), dtype=np.int64)
+            if len(cnt):
+                tt = by_doc.sum()
+                total[tt.index.to_numpy()] = tt.to_numpy()
+                mx = by_doc.max()
+                top[mx.index.to_numpy()] = mx.to_numpy()
+                dd = cnt.where(cnt > 1, 0).groupby("doc").sum()
+                dup[dd.index.to_numpy()] = dd.to_numpy()
+            return total, top, dup
+
+        n2, top2, _ = gram_stats(2)
+        n3, _, dup3 = gram_stats(3)
+        s2 = np.maximum(n2, 1)
+        s3 = np.maximum(n3, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "top_bigram_frac_e6": pa.array(
+                    np.floor(top2 / s2 * 1e6 + 0.5).astype("int64")
+                ),
+                "dup_trigram_frac_e6": pa.array(
+                    np.floor(dup3 / s3 * 1e6 + 0.5).astype("int64")
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
 class LangId:
     """Heuristic language ID: score each doc against per-language
     stopword profiles learned once per actor from a fixed table.

@@ -147,6 +147,47 @@ def test_ann_lsh_recall():
     assert len(a & e) / len(e) >= 0.4  # 6 planes, nprobe=24/64 codes
 
 
+def test_ann_sq8_recall_and_shard_bound():
+    """8-bit quantization should barely dent top-k recall vs the float
+    path, and the streaming build must emit int8 shards no larger than
+    flush_rows regardless of corpus size (the 8x-memory claim)."""
+    import ray
+
+    from lakecdc import ann
+
+    exact = ann.ann_topk(SF_DIR)
+    sq = ann.ann_sq8(SF_DIR)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    s = set(zip(sq["query_id"], sq["neighbor_id"]))
+    assert len(s & e) / len(e) >= 0.8  # SQ8 keeps most exact neighbors
+
+    shards = ann.build_sq8_shards_streaming(SF_DIR, flush_rows=128)
+    total = 0
+    for ref in shards:
+        ids, Q = ray.get(ref)
+        assert Q.dtype == "int8" and len(ids) <= 128
+        total += len(ids)
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF_DIR}/embeddings.parquet").num_rows
+    assert total == n  # every vector landed in exactly one shard
+
+
+def test_repetition_profile_nondegenerate():
+    """The oracle equality runs in the registry-wide sweep; here pin
+    that the signals actually discriminate on the synthetic corpus —
+    repeated-word docs ('batch batch batch') must light up both
+    fractions somewhere, and fractions stay inside [0, 1e6]."""
+    from lakecdc import text as t
+
+    df = t.repetition_profile(SF_DIR)
+    assert (df["top_bigram_frac_e6"].between(0, 1_000_000)).all()
+    assert (df["dup_trigram_frac_e6"].between(0, 1_000_000)).all()
+    assert (df["top_bigram_frac_e6"] > 0).any()
+    assert (df["dup_trigram_frac_e6"] > 0).any()
+    assert df["top_bigram_frac_e6"].nunique() > 10  # not a constant
+
+
 def test_winnowing_deterministic_and_sane():
     from lakecdc import text as t
 
