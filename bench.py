@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "token_count",
     "minhash_lsh_pairs",
     "ann_topk",
+    # round-4 additions: the SQ8 quantized ANN path and the Gopher
+    # repetition profile (both oracle-value-checked operators)
+    "ann_sq8",
+    "repetition_profile",
 ]
 
 

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from lakecdc.config import OP_DELETE, OP_PATCH, VALID_OPS_PARTIAL
 from lakecdc.evolve import conform
-from lakecdc.merge import last_per_key
+
 from lakecdc.schemas import LAKE_SCHEMA, PARTIAL_FILE_SCHEMA, WAL_SCHEMA_V1
 
 _NEG1 = pa.scalar(-1, type=pa.int64())
@@ -84,38 +84,61 @@ def events_to_cells(events: pa.Table) -> pa.Table:
 
 
 def fold_cells(cells: pa.Table) -> pa.Table:
-    """Per-key semigroup fold: four vectorized per-key argmax passes
-    (row LSN, delete LSN, tokens writer, source writer) aligned by the
-    shared sorted key order. Output sorted by doc_id, one row per key,
-    ``_deleted`` = the latest event is the delete."""
+    """Per-key semigroup fold, fused (round-4): ONE dictionary encode
+    of ``doc_id`` + an O(n) scatter-argmax per order column (row LSN,
+    delete LSN, tokens writer, source writer) — no sort of the n input
+    rows (the old shape paid up to four indices-sorts per batch; this
+    is the partial engine's version of the LWW ``compact_keep_mask``
+    discipline). Ties on (key, order) resolve to the LAST input row,
+    exactly like ``merge.last_per_key`` (stable sort, last wins) — so
+    "delta beats lake at equal LSN" stays encoded by concat order.
+    Output sorted by doc_id (only the k unique keys are sorted), one
+    row per key, ``_deleted`` = the latest event is the delete."""
+    import numpy as np
+
     if cells.num_rows == 0:
         return PARTIAL_FILE_SCHEMA.empty_table()
-    t_row = last_per_key(cells, key="doc_id", order="_lsn")
-    if t_row.num_rows == cells.num_rows:
-        # already one row per key: just recompute the derived flag
-        t_row = t_row.set_column(
-            t_row.schema.get_field_index("_deleted"),
-            "_deleted",
-            pc.equal(t_row["_lsn"], t_row["_del_lsn"]),
-        )
-        # _del_lsn etc. are already per-row maxes in a 1-row/key table
-        return t_row
-    t_del = last_per_key(cells, key="doc_id", order="_del_lsn")
-    t_tok = last_per_key(cells, key="doc_id", order="_tokens_lsn")
-    t_src = last_per_key(cells, key="doc_id", order="_source_lsn")
-    lsn = t_row["_lsn"].combine_chunks()
-    del_lsn = t_del["_del_lsn"].combine_chunks()
+    dict_arr = pc.dictionary_encode(
+        cells["doc_id"].combine_chunks()
+        if isinstance(cells["doc_id"], pa.ChunkedArray)
+        else cells["doc_id"]
+    )
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    codes = dict_arr.indices.to_numpy().astype(np.int64, copy=False)
+    keys = dict_arr.dictionary
+    k = len(keys)
+
+    def argmax_last(col: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-code (max value, last row index achieving it)."""
+        v = cells[col].combine_chunks().to_numpy() if isinstance(
+            cells[col], pa.ChunkedArray
+        ) else cells[col].to_numpy()
+        best = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(best, codes, v)
+        m = v == best[codes]
+        rows = np.full(k, -1, dtype=np.int64)
+        np.maximum.at(rows, codes[m], np.nonzero(m)[0])
+        return best, rows
+
+    lsn_best, _ = argmax_last("_lsn")
+    del_best, _ = argmax_last("_del_lsn")
+    tok_best, tok_rows = argmax_last("_tokens_lsn")
+    src_best, src_rows = argmax_last("_source_lsn")
+
+    order = pc.sort_indices(keys).to_numpy().astype(np.int64, copy=False)
+    tok_take = pa.array(tok_rows[order])
     return pa.table(
         {
-            "doc_id": t_row["doc_id"],
-            "tokens": t_tok["tokens"],
-            "n_tok": t_tok["n_tok"],
-            "source": t_src["source"],
-            "_lsn": lsn,
-            "_del_lsn": del_lsn,
-            "_tokens_lsn": t_tok["_tokens_lsn"],
-            "_source_lsn": t_src["_source_lsn"],
-            "_deleted": pc.equal(lsn, del_lsn),
+            "doc_id": keys.take(pa.array(order)),
+            "tokens": cells["tokens"].take(tok_take),
+            "n_tok": cells["n_tok"].take(tok_take),
+            "source": cells["source"].take(pa.array(src_rows[order])),
+            "_lsn": pa.array(lsn_best[order]),
+            "_del_lsn": pa.array(del_best[order]),
+            "_tokens_lsn": pa.array(tok_best[order]),
+            "_source_lsn": pa.array(src_best[order]),
+            "_deleted": pa.array(lsn_best[order] == del_best[order]),
         },
         schema=PARTIAL_FILE_SCHEMA,
     )
