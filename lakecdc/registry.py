@@ -289,6 +289,8 @@ QUERIES: dict[str, Callable] = {
     # Gopher-style repetition filters (top-bigram / duplicated-trigram
     # fractions), SQL-replayed below
     "repetition_profile": text.repetition_profile,
+    # PII-shaped identifier scrub with counted redactions, SQL-replayed
+    "redact_identifiers": text.redact_identifiers,
     "contamination_check": text.contamination_check,  # probe-set decontamination
     # Rabin-style content-defined chunking (storage-dedup cut points),
     # same rolling-hash kernel, SQL-replayed below
@@ -416,6 +418,8 @@ _DRIVER_EXCLUDED = {
     #  expressions inside the composite pipeline)
     "repetition_profile",  # new in r04 (never had a driver row to defend);
     #  SQL-value-checked every pytest run — first rotation candidate for r05
+    "redact_identifiers",  # new in r04; SQL-value-checked every pytest run —
+    #  rotation candidate for r05 alongside repetition_profile
     "token_count",  # (corpus_prep's quality gate + rollup value-check the
     #  same whitespace token counting inside the composite pipeline)
     "token_count_regex",  # (same single-map shape as token_count; its RE2
@@ -1387,6 +1391,16 @@ ORACLES: dict[str, str] = {
           ON x.band = y.band AND x.bkey = y.bkey
          AND x.doc_id <> y.doc_id
         GROUP BY 1, 2
+    """,
+    # Exact replay of text.redact_identifiers: the pattern is inside
+    # the RE2 ∩ Python-re identical subset, so regexp_replace(..., 'g')
+    # and len(regexp_extract_all(...)) reproduce the scrub bit-for-bit.
+    "redact_identifiers": """
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS c_name_redacted,
+               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT)
+                   AS n_redacted
+        FROM customer
     """,
     # Exact replay of text.repetition_profile: same strip + \s+
     # tokenization as quality_score's oracle, n-grams via list indexing

@@ -97,6 +97,37 @@ def quality_score(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(f, batch_format="pyarrow").to_pandas()
 
 
+REDACT_PATTERN = r"[0-9]{6,}"  # long digit runs: account/record ids
+REDACT_TOKEN = "[ID]"
+
+
+def redact_identifiers(sf_dir: str) -> pd.DataFrame:
+    """PII-shaped identifier scrub with COUNTED redactions (the F5
+    counted-drops discipline applied to redaction — a scrub that can't
+    say how much it scrubbed is unauditable): replace every long digit
+    run in ``customer.c_name`` with a redaction token and report the
+    per-row count. The pattern stays inside the regex subset RE2 and
+    Python ``re`` match identically (no lookaround/backrefs), so the
+    DuckDB oracle replays it exactly. Vectorized pandas str kernels
+    inside map_batches; at 100 TB this is the same stateless
+    stream-through shape as the other F-family maps."""
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        s = t["c_name"].to_pandas()
+        n = s.str.count(REDACT_PATTERN).fillna(0).astype("int64")
+        red = s.str.replace(REDACT_PATTERN, REDACT_TOKEN, regex=True)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name_redacted": pa.array(red, type=pa.string()),
+                "n_redacted": pa.array(n),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
 def repetition_profile(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition-quality signals per document: the
     fraction of word bigrams taken by the single most frequent bigram
