@@ -297,3 +297,88 @@ def test_shard_tile_pairs_invariant_to_shard_id_order(ids, cut, seed):
     one = pairs([(ids_arr, V)])
     two = pairs([(ids_arr[:cut], V[:cut]), (ids_arr[cut:], V[cut:])])
     assert two == one
+
+
+# ---------------------------------------------------------------------------
+# partial.fold_cells: the round-4 fused scatter-argmax fold must be
+# row-for-row identical to the sort-based reference it replaced
+# (last_per_key per order column), including ties on (key, order) —
+# duplicate LSNs and -1 sentinel collisions are generated on purpose.
+# ---------------------------------------------------------------------------
+
+op_st = st.sampled_from(["insert", "update", "upsert", "delete", "patch"])
+event_st = st.tuples(
+    st.integers(0, 9),  # lsn — tiny range to force (key, lsn) ties
+    op_st,
+    st.sampled_from(["a", "b", "c"]),  # doc_id
+    st.one_of(st.none(), st.lists(st.integers(0, 5), max_size=3)),  # tokens
+    st.one_of(st.none(), st.sampled_from(["s1", "s2"])),  # source
+)
+
+
+def _fold_cells_reference(cells):
+    """The pre-round-4 implementation, verbatim semantics: four
+    last_per_key passes aligned by key order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lakecdc.merge import last_per_key
+    from lakecdc.schemas import PARTIAL_FILE_SCHEMA
+
+    if cells.num_rows == 0:
+        return PARTIAL_FILE_SCHEMA.empty_table()
+    t_row = last_per_key(cells, key="doc_id", order="_lsn")
+    t_del = last_per_key(cells, key="doc_id", order="_del_lsn")
+    t_tok = last_per_key(cells, key="doc_id", order="_tokens_lsn")
+    t_src = last_per_key(cells, key="doc_id", order="_source_lsn")
+    lsn = t_row["_lsn"].combine_chunks()
+    del_lsn = t_del["_del_lsn"].combine_chunks()
+    return pa.table(
+        {
+            "doc_id": t_row["doc_id"],
+            "tokens": t_tok["tokens"],
+            "n_tok": t_tok["n_tok"],
+            "source": t_src["source"],
+            "_lsn": lsn,
+            "_del_lsn": del_lsn,
+            "_tokens_lsn": t_tok["_tokens_lsn"],
+            "_source_lsn": t_src["_source_lsn"],
+            "_deleted": pc.equal(lsn, del_lsn),
+        },
+        schema=PARTIAL_FILE_SCHEMA,
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(events=st.lists(event_st, max_size=16), cut=st.integers(0, 16))
+def test_fold_cells_fused_matches_sort_reference(events, cut):
+    import pyarrow as pa
+
+    from lakecdc.partial import events_to_cells, fold_cells
+
+    tbl = pa.table(
+        {
+            "lsn": pa.array([e[0] for e in events], type=pa.int64()),
+            "op": pa.array([e[1] for e in events], type=pa.string()),
+            "doc_id": pa.array([e[2] for e in events], type=pa.string()),
+            "tokens": pa.array(
+                [e[3] for e in events], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(
+                [len(e[3]) if e[3] is not None else None for e in events],
+                type=pa.int32(),
+            ),
+            "source": pa.array([e[4] for e in events], type=pa.string()),
+        }
+    )
+    cells = events_to_cells(tbl)
+    got = fold_cells(cells)
+    want = _fold_cells_reference(cells)
+    assert got.equals(want), f"\ngot:  {got.to_pydict()}\nwant: {want.to_pydict()}"
+    # associativity under the fused kernel: fold of folded halves ==
+    # fold of the whole (the property the combiner/epoch-fold relies on)
+    cut = min(cut, cells.num_rows)
+    halves = pa.concat_tables(
+        [fold_cells(cells.slice(0, cut)), fold_cells(cells.slice(cut))]
+    )
+    assert fold_cells(halves).equals(want)
