@@ -29,8 +29,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Curated 50-entry view (the driver records at most ~50 rows per
     round; see lakecdc.registry.DRIVER_QUERIES — every excluded entry
-    is a redundant twin of a kept one and stays pytest-checked against
-    DuckDB via the FULL registry in tests/test_queries_vs_duckdb.py)."""
+    is either a documented redundant twin of a kept one or a new-this-
+    round rotation candidate, and stays pytest-checked against DuckDB
+    via the FULL registry in tests/test_queries_vs_duckdb.py)."""
     return dict(DRIVER_QUERIES)
 
 

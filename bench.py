@@ -418,10 +418,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # One bounded contention gate for the whole scaling session (same
-    # rationale and knobs as run_bench's default gate).
+    # rationale and knobs as run_bench's default gate); the clearing
+    # (or timed-out) probe is stamped into the record below.
     wait_s = float(os.environ.get("GRAFT_BENCH_WAIT_S", "900"))
-    if wait_s > 0:
-        wait_clear(timeout_s=wait_s)
+    wait_probe = wait_clear(timeout_s=wait_s) if wait_s > 0 else None
 
     # Pre-generate the WAL at full parallelism so the lo run doesn't
     # pay generation with few cores (generation is never timed).
@@ -486,6 +486,7 @@ def run_scaling() -> dict:
             if probes
             else None
         ),
+        "wait_clear_probe": wait_probe,
     }
 
 
@@ -626,7 +627,10 @@ def wait_clear(
 
 if __name__ == "__main__":
     if "--wait-clear" in sys.argv:
+        # Explicit long-timeout gate (GRAFT_CLEAR_TIMEOUT, 3600 s);
+        # suppress the default in-run gate so the run isn't gated twice.
         wait_clear()
+        os.environ["GRAFT_BENCH_WAIT_S"] = "0"
     if "--gen-only" in sys.argv:
         import ray
 

@@ -442,9 +442,27 @@ class SQ8Index:
     SQL-value-checkable (unlike float cosine reranks). Self excluded;
     ties break (dot DESC, neighbor_id ASC) like the float path."""
 
-    def __init__(self, shard_refs: list, k: int = 5):
+    def __init__(self, shard_refs: list, k: int = 5, max_cached: int = 64):
         self.shard_refs = shard_refs
         self.k = k
+        # bounded LRU of fetched+upcast shards (the _CellCache
+        # discipline): a long query stream re-uses each shard's int32
+        # view instead of re-fetching and re-upcasting it per batch,
+        # while actor-resident bytes stay capped regardless of corpus
+        # size
+        self.max_cached = max_cached
+        self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+
+    def _shard(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        sids, S = ray.get(self.shard_refs[i])
+        val = (sids, S.astype(np.int32))
+        self._cache[i] = val
+        while len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return val
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -460,9 +478,9 @@ class SQ8Index:
         # per-shard exact top-k, then a tiny cross-shard merge
         cand_i: list[np.ndarray] = []
         cand_d: list[np.ndarray] = []
-        for ref in self.shard_refs:
-            sids, S = ray.get(ref)
-            dots = S.astype(np.int32) @ Qi.T  # (n_shard, b) exact int
+        for si in range(len(self.shard_refs)):
+            sids, Si = self._shard(si)
+            dots = Si @ Qi.T  # (n_shard, b) exact int32
             for col in range(len(qids)):
                 d = dots[:, col]
                 top = np.lexsort((sids, -d))[: self.k + 1]  # +1 covers self

@@ -109,11 +109,21 @@ def fold_cells(cells: pa.Table) -> pa.Table:
     keys = dict_arr.dictionary
     k = len(keys)
 
+    def _col(col: str) -> "np.ndarray":
+        c = cells[col]
+        return (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c).to_numpy()
+
+    def max_per_code(col: str) -> np.ndarray:
+        """Per-code max value — the scalar columns need no row index."""
+        v = _col(col)
+        best = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(best, codes, v)
+        return best
+
     def argmax_last(col: str) -> tuple[np.ndarray, np.ndarray]:
-        """Per-code (max value, last row index achieving it)."""
-        v = cells[col].combine_chunks().to_numpy() if isinstance(
-            cells[col], pa.ChunkedArray
-        ) else cells[col].to_numpy()
+        """Per-code (max value, last row index achieving it) — for the
+        payload columns whose winning row must be gathered."""
+        v = _col(col)
         best = np.full(k, np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(best, codes, v)
         m = v == best[codes]
@@ -121,8 +131,8 @@ def fold_cells(cells: pa.Table) -> pa.Table:
         np.maximum.at(rows, codes[m], np.nonzero(m)[0])
         return best, rows
 
-    lsn_best, _ = argmax_last("_lsn")
-    del_best, _ = argmax_last("_del_lsn")
+    lsn_best = max_per_code("_lsn")
+    del_best = max_per_code("_del_lsn")
     tok_best, tok_rows = argmax_last("_tokens_lsn")
     src_best, src_rows = argmax_last("_source_lsn")
 

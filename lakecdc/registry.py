@@ -343,10 +343,11 @@ QUERIES: dict[str, Callable] = {
 # checks — unchecked). DRIVER_QUERIES is the curated view
 # ``__ray_entry__.queries()`` exposes: exactly 50 entries, ordered so
 # the highest-external-value checks come first. Every entry dropped
-# from the view is a redundant twin of a kept one (weaker-evidence
-# variant sharing the kept entry's oracle or semantics) and remains in
-# QUERIES, where tests/test_queries_vs_duckdb.py checks the FULL
-# registry against DuckDB every pytest run.
+# from the view is either a redundant twin of a kept one
+# (weaker-evidence variant sharing the kept entry's oracle or
+# semantics) or a new-this-round op queued as a rotation candidate;
+# all remain in QUERIES, where tests/test_queries_vs_duckdb.py checks
+# the FULL registry against DuckDB every pytest run.
 _DRIVER_ORDER_HEAD = [
     # round-2 unchecked tail, now first: the engine's external value
     # proof (full WAL apply / snapshot diff / inverted index / lineage
@@ -1397,9 +1398,10 @@ ORACLES: dict[str, str] = {
     # and len(regexp_extract_all(...)) reproduce the scrub bit-for-bit.
     "redact_identifiers": """
         SELECT c_custkey,
-               regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS c_name_redacted,
-               CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS BIGINT)
-                   AS n_redacted
+               regexp_replace(coalesce(c_name, ''), '[0-9]{6,}', '[ID]', 'g')
+                   AS c_name_redacted,
+               CAST(len(regexp_extract_all(coalesce(c_name, ''), '[0-9]{6,}'))
+                    AS BIGINT) AS n_redacted
         FROM customer
     """,
     # Exact replay of text.repetition_profile: same strip + \s+
@@ -1408,7 +1410,8 @@ ORACLES: dict[str, str] = {
     # the identical divide-then-scale float order.
     "repetition_profile": r"""
         WITH t AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            SELECT doc_id,
+                   string_split_regex(trim(coalesce(text, '')), '\s+') AS w
             FROM documents
         ),
         bg AS (

@@ -114,7 +114,7 @@ def redact_identifiers(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
 
     def f(t: pa.Table) -> pa.Table:
-        s = t["c_name"].to_pandas()
+        s = t["c_name"].to_pandas().fillna("")  # oracle coalesces identically
         n = s.str.count(REDACT_PATTERN).fillna(0).astype("int64")
         red = s.str.replace(REDACT_PATTERN, REDACT_TOKEN, regex=True)
         return pa.table(
@@ -157,7 +157,9 @@ def repetition_profile(sf_dir: str) -> pd.DataFrame:
         )
         if t.num_rows == 0:
             return empty
-        s = t["text"].to_pandas().str.strip()
+        # null text -> '' (the oracle coalesces identically): a NaN in
+        # toks would otherwise reach np.concatenate as a 0-d array
+        s = t["text"].to_pandas().fillna("").str.strip()
         toks = s.str.split(r"\s+", regex=True)
         n = toks.str.len().fillna(0).astype("int64").to_numpy()
         flat = np.concatenate(
