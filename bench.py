@@ -449,10 +449,23 @@ def run_scaling() -> dict:
     # is the machine's capability at that parallelism, decorrelated
     # from which wave a given process landed in.
     attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "3"))
+    # Waves hurt ONLY the hi level (low-core levels run at their normal
+    # per-core rate inside a wave — BASELINE.md round-3 substrate
+    # analysis), so under-sampling hi systematically UNDERestimates
+    # efficiency. Hi attempts are also ~3x cheaper wall-clock than lo;
+    # default them to 2x so the hi best has more chances to land in a
+    # clear window. Per-level best over N attempts stays the estimator
+    # at both levels — no asymmetric statistic, just a better-sampled
+    # max at the wave-sensitive level.
+    attempts_hi = max(
+        1, int(os.environ.get("GRAFT_SCALE_ATTEMPTS_HI", str(2 * attempts)))
+    )
     lo_runs, hi_runs = [], []
-    for _ in range(attempts):
-        lo_runs.append(one(lo_n))
-        hi_runs.append(one(hi_n))
+    for i in range(max(attempts, attempts_hi)):
+        if i < attempts:
+            lo_runs.append(one(lo_n))
+        if i < attempts_hi:
+            hi_runs.append(one(hi_n))
     tput = lambda r: r["events_applied"] / r["queries"]["cdc_apply"]  # noqa: E731
     lo = max(lo_runs, key=tput)
     hi = max(hi_runs, key=tput)
@@ -476,6 +489,8 @@ def run_scaling() -> dict:
         "events_per_sec_hi": round(tput_hi, 1),
         "e2e_sec_lo": lo["value"],
         "e2e_sec_hi": hi["value"],
+        "attempts_lo": len(lo_runs),
+        "attempts_hi": len(hi_runs),
         "sf": SF_DIR,
         "contention_probe_hi_min": (
             {
