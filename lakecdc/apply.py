@@ -164,15 +164,30 @@ class PartitionMerger:
     the snapshot is large (many partitions on a big cluster) and
     per-task shipping would dominate."""
 
-    def __init__(self, cfg: EngineConfig, epoch: int, base_epoch: int | None = None):
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        epoch: int,
+        base_epoch: int | None = None,
+        backfill_epochs: list[int] | None = None,
+    ):
         self.cfg = cfg
         self.epoch = epoch
+        self.backfill_epochs = backfill_epochs
         # base_epoch: last epoch whose commits form the input lake view
         # (epoch-1 for a single-epoch apply; min(folded)-1 for a fold).
         # The view is the base+delta file CHAIN per partition
         # (merge-on-read; a pure-CoW history is a one-file chain).
+        # A BACKFILL (epochs below the committed frontier) folds onto
+        # the FULL current view — the higher base's rows must be in the
+        # input or the commit would supersede them away.
         self.prev_files: dict[int, list[str]] = manifest.partition_view(
-            cfg, up_to_epoch=epoch - 1 if base_epoch is None else base_epoch
+            cfg,
+            up_to_epoch=(
+                None
+                if backfill_epochs is not None
+                else (epoch - 1 if base_epoch is None else base_epoch)
+            ),
         )
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -183,6 +198,8 @@ class PartitionMerger:
             bucket,
             self.prev_files.get(bucket),
             group.drop_columns(["bucket"]),
+            compaction=self.backfill_epochs is not None,
+            backfill_epochs=self.backfill_epochs,
         )
         return _lineage_row(record)
 
@@ -193,14 +210,39 @@ def merge_and_commit(
     bucket: int,
     prev_files: list[str] | None,
     events: pa.Table,
+    *,
+    compaction: bool = False,
+    backfill_epochs: list[int] | None = None,
 ) -> dict:
     """The per-partition reduce: global LWW compact of this bucket's
     delta, merge against the lake partition, atomic file write,
     idempotent manifest commit. Shared by the Dataset groupby path and
     the direct exchange (lakecdc.exchange). `events` carries the
-    `_invalid` marker column from the prep stage."""
-    existing = manifest.read_record(cfg, epoch, bucket)
+    `_invalid` marker column from the prep stage.
+
+    ``compaction=True`` is the out-of-order BACKFILL commit: epochs
+    applied below an already-committed higher epoch fold onto the full
+    current view and land in the compaction-record namespace of the
+    frontier epoch (a compaction record supersedes that epoch's apply
+    records by scan order), so the backfilled rows become visible
+    instead of being superseded away by the higher base.
+    ``backfill_epochs`` records which WAL epochs the commit folded; a
+    re-run with the same (or a subset of the) epoch set no-ops
+    idempotently, while a DIFFERENT backfill hitting an occupied slot
+    raises instead of silently dropping its events."""
+    existing = manifest.read_record(cfg, epoch, bucket, compaction=compaction)
     if existing is not None:
+        if compaction and not set(backfill_epochs or []) <= set(
+            existing.get("backfill_epochs", [])
+        ):
+            raise RuntimeError(
+                f"partition {bucket} already holds a compaction record at "
+                f"epoch {epoch} (folded epochs "
+                f"{existing.get('backfill_epochs', 'n/a')}); cannot commit a "
+                f"different backfill {sorted(backfill_epochs or [])} into the "
+                "same slot — apply ALL below-frontier epochs in one "
+                "apply_pending call instead of epoch-by-epoch"
+            )
         return existing  # resume/retry: no-op
 
     n_invalid = pc.sum(pc.cast(events["_invalid"], pa.int64())).as_py() or 0
@@ -209,7 +251,14 @@ def merge_and_commit(
     ).drop_columns(["_invalid"])
     if cfg.merge_engine == "partial":
         return _merge_and_commit_partial(
-            cfg, epoch, bucket, prev_files, events, n_invalid
+            cfg,
+            epoch,
+            bucket,
+            prev_files,
+            events,
+            n_invalid,
+            compaction=compaction,
+            backfill_epochs=backfill_epochs,
         )
     if events.num_rows:
         lsn_lo = pc.min(events["lsn"]).as_py()
@@ -226,11 +275,13 @@ def merge_and_commit(
     n_up = delta.num_rows - n_del
 
     kind = "base"
-    if cfg.write_mode == "mor" and prev_files:
+    if cfg.write_mode == "mor" and prev_files and not compaction:
         # Merge-on-read: persist only the compacted delta (as physical
         # lake rows, tombstones included); the fold with the base
         # happens on read / at compaction. No base read, no rewrite —
-        # O(delta) I/O per partition per epoch.
+        # O(delta) I/O per partition per epoch. (A backfill commit is
+        # always a full CoW base: a compaction record must supersede
+        # the chain it folded.)
         from lakecdc.merge import events_to_lake_rows
 
         merged = events_to_lake_rows(delta)
@@ -252,7 +303,11 @@ def merge_and_commit(
         target = LAKE_FILE_SCHEMA if evolved else _LAKE_FILE_SCHEMA_V0
         merged, stats = merge_partition(lake_tbl, delta, schema=target)
 
-    path = cfg.partition_epoch_file(bucket, epoch)
+    path = (
+        cfg.partition_compact_file(bucket, epoch)
+        if compaction
+        else cfg.partition_epoch_file(bucket, epoch)
+    )
     atomic_write(
         path,
         lambda tmp: pq.write_table(
@@ -282,8 +337,30 @@ def merge_and_commit(
             "rows_tombstoned": stats["rows_tombstoned"],
         },
     }
+    if compaction:
+        _stamp_backfill(cfg, record, epoch, bucket, backfill_epochs)
     manifest.commit(cfg, record)
     return record
+
+
+def _stamp_backfill(
+    cfg: EngineConfig,
+    record: dict,
+    epoch: int,
+    bucket: int,
+    backfill_epochs: list[int] | None,
+) -> None:
+    """Mark a backfill commit: compaction namespace, folded-epoch list,
+    and a watermark that also covers the superseded apply record at the
+    same epoch (the folded view contained its rows, so the partition's
+    effective watermark must not regress below it)."""
+    record["compaction"] = True
+    record["backfill_epochs"] = sorted(backfill_epochs or [])
+    prior = manifest.read_record(cfg, epoch, bucket)
+    if prior is not None:
+        record["lsn_watermark"] = max(
+            record["lsn_watermark"], prior.get("lsn_watermark", -1)
+        )
 
 
 def _key_range(merged: pa.Table) -> list[str] | None:
@@ -302,6 +379,9 @@ def _merge_and_commit_partial(
     prev_files: list[str] | None,
     cells: pa.Table,
     n_invalid: int,
+    *,
+    compaction: bool = False,
+    backfill_epochs: list[int] | None = None,
 ) -> dict:
     """Partial-engine reduce: fold this bucket's cell delta, merge (or
     persist as a merge-on-read delta), atomic write, idempotent commit.
@@ -319,7 +399,7 @@ def _merge_and_commit_partial(
     n_up = delta.num_rows - n_del
 
     kind = "base"
-    if cfg.write_mode == "mor" and prev_files:
+    if cfg.write_mode == "mor" and prev_files and not compaction:
         merged = delta
         live = pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0
         stats = {"rows_live": int(live), "rows_tombstoned": merged.num_rows - int(live)}
@@ -333,7 +413,11 @@ def _merge_and_commit_partial(
             lake_tbl = None
         merged, stats = merge_partition_partial(lake_tbl, delta)
 
-    path = cfg.partition_epoch_file(bucket, epoch)
+    path = (
+        cfg.partition_compact_file(bucket, epoch)
+        if compaction
+        else cfg.partition_epoch_file(bucket, epoch)
+    )
     atomic_write(
         path,
         lambda tmp: pq.write_table(
@@ -361,6 +445,8 @@ def _merge_and_commit_partial(
             "rows_tombstoned": stats["rows_tombstoned"],
         },
     }
+    if compaction:
+        _stamp_backfill(cfg, record, epoch, bucket, backfill_epochs)
     manifest.commit(cfg, record)
     return record
 
@@ -412,6 +498,31 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     cfg.save_meta()  # pin/validate the lake's physical parameters
     epochs = sorted(epochs)
     epoch = epochs[-1]  # commit epoch
+    # BACKFILL (round-4 review fix, confirmed silent-loss repro): when
+    # an epoch ABOVE this fold's commit epoch already has commits (an
+    # out-of-order apply ran first), committing a base at the lower
+    # epoch would be superseded by the higher base in manifest scan
+    # order and the folded rows would silently vanish. Instead: expand
+    # the fold to EVERY incomplete below-frontier epoch (the frontier
+    # epoch has exactly one compaction slot per partition, so the
+    # backfill must happen as one fold), fold onto the FULL current
+    # view, and commit into the frontier epoch's compaction-record
+    # slot, which supersedes its apply records.
+    frontier = manifest.resume_point(cfg)
+    backfill = None
+    if frontier > epoch and any(
+        not manifest.epoch_complete(cfg, e) for e in epochs
+    ):
+        epochs = sorted(
+            set(epochs)
+            | {
+                e
+                for e in wal.list_epochs(cfg)
+                if e < frontier and not manifest.epoch_complete(cfg, e)
+            }
+        )
+        backfill = list(epochs)
+        epoch = frontier
     if len(epochs) == 1:
         ds = wal.read_segment(cfg, epochs[0])
     else:
@@ -458,14 +569,14 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
         # __init__ (amortized over many partitions per actor).
         lineage_ds = ds.groupby("bucket").map_groups(
             PartitionMerger,
-            fn_constructor_args=(cfg, epoch, base_epoch),
+            fn_constructor_args=(cfg, epoch, base_epoch, backfill),
             batch_format="pyarrow",
             concurrency=cfg.merge_concurrency,
         )
     else:
         # Task pool with the snapshot computed ONCE here and broadcast
         # via the closure — no per-epoch actor startup.
-        merger = PartitionMerger(cfg, epoch, base_epoch)
+        merger = PartitionMerger(cfg, epoch, base_epoch, backfill)
 
         def merge_group(group: pa.Table) -> pa.Table:
             return merger(group)
@@ -513,9 +624,33 @@ def apply_pending(cfg: EngineConfig, fold: int = 1) -> pa.Table:
     path: it re-applies everything (committed partitions no-op
     byte-identically), which is what you want after manually clearing
     manifest records, never per poll."""
-    return fold_chunks(
-        pending_epochs(cfg), fold, lambda es: apply_epochs(cfg, es)
-    )
+    return _plan_apply(cfg, pending_epochs(cfg), fold, lambda es: apply_epochs(cfg, es))
+
+
+def _plan_apply(
+    cfg: EngineConfig, epochs: list[int], fold: int, apply_fn
+) -> pa.Table:
+    """Shared apply plan for both engines' apply_all / apply_pending:
+    any INCOMPLETE epochs BELOW the committed frontier (an out-of-order
+    apply ran ahead) go in ONE backfill fold — the frontier epoch has
+    exactly one compaction slot per partition, so chunking them would
+    collide on it — then the remaining epochs chunk by ``fold`` as
+    usual (already-complete epochs no-op on their existing records)."""
+    frontier = manifest.resume_point(cfg)
+    below = [
+        e
+        for e in epochs
+        if e < frontier and not manifest.epoch_complete(cfg, e)
+    ]
+    rest = [e for e in epochs if e not in set(below)]
+    tables = []
+    if below:
+        tables.append(apply_fn(sorted(below)))
+    tables.append(fold_chunks(rest, fold, apply_fn))
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
 
 
 def apply_all(
@@ -530,4 +665,4 @@ def apply_all(
         for e in wal.list_epochs(cfg)
         if max_epoch is None or e <= max_epoch
     ]
-    return fold_chunks(epochs, fold, lambda es: apply_epochs(cfg, es))
+    return _plan_apply(cfg, epochs, fold, lambda es: apply_epochs(cfg, es))

@@ -96,6 +96,7 @@ def _reduce_bucket(
     epoch: int,
     bucket: int,
     prev_files: list[str] | None,
+    backfill_epochs: list[int] | None,
     *group_parts: pa.Table,
 ):
     parts = []
@@ -110,7 +111,15 @@ def _reduce_bucket(
         return None  # untouched partition: carry forward, no rewrite
     schema = _PARTIAL_INVALID if cfg.merge_engine == "partial" else _WAL_V1_INVALID
     events = unify_concat(list(parts), schema)
-    return merge_and_commit(cfg, epoch, bucket, prev_files, events)
+    return merge_and_commit(
+        cfg,
+        epoch,
+        bucket,
+        prev_files,
+        events,
+        compaction=backfill_epochs is not None,
+        backfill_epochs=backfill_epochs,
+    )
 
 
 def apply_epochs_direct(
@@ -122,6 +131,25 @@ def apply_epochs_direct(
     cfg.save_meta()  # pin/validate the lake's physical parameters
     epochs = sorted(epochs)
     epoch = epochs[-1]
+    # BACKFILL (see apply.apply_epochs): expand to every incomplete
+    # below-frontier epoch — the frontier epoch has ONE compaction slot
+    # per partition, so the backfill must land as one fold — and commit
+    # into that slot over the full current view.
+    frontier = manifest.resume_point(cfg)
+    backfill = None
+    if frontier > epoch and any(
+        not manifest.epoch_complete(cfg, e) for e in epochs
+    ):
+        epochs = sorted(
+            set(epochs)
+            | {
+                e
+                for e in wal.list_epochs(cfg)
+                if e < frontier and not manifest.epoch_complete(cfg, e)
+            }
+        )
+        backfill = list(epochs)
+        epoch = frontier
     files = [
         f
         for e in epochs
@@ -158,10 +186,17 @@ def apply_epochs_direct(
     # merge seeded from it alone would silently drop all older rows.
     # Commit-epoch-relative base view (see apply.apply_epochs): keeps
     # an out-of-order-committed epoch inside the fold span visible.
-    prev = manifest.partition_view(cfg, up_to_epoch=epoch - 1)
+    prev = manifest.partition_view(
+        cfg, up_to_epoch=None if backfill is not None else epoch - 1
+    )
     reduce_out = [
         _reduce_bucket.remote(
-            cfg, epoch, b, prev.get(b), *[refs[b // per] for refs in map_out]
+            cfg,
+            epoch,
+            b,
+            prev.get(b),
+            backfill,
+            *[refs[b // per] for refs in map_out],
         )
         for b in range(B)
     ]
@@ -180,12 +215,12 @@ def apply_epochs_direct(
 def apply_all_direct(
     cfg: EngineConfig, max_epoch: int | None = None, fold: int = 1
 ) -> pa.Table:
-    from lakecdc.apply import fold_chunks
+    from lakecdc.apply import _plan_apply
 
     epochs = [
         e for e in wal.list_epochs(cfg) if max_epoch is None or e <= max_epoch
     ]
-    return fold_chunks(epochs, fold, lambda es: apply_epochs_direct(cfg, es))
+    return _plan_apply(cfg, epochs, fold, lambda es: apply_epochs_direct(cfg, es))
 
 
 def apply_pending_direct(cfg: EngineConfig, fold: int = 1) -> pa.Table:
@@ -193,8 +228,8 @@ def apply_pending_direct(cfg: EngineConfig, fold: int = 1) -> pa.Table:
     tail tick on the scale engine — only epochs without a completion
     marker are read, so one tick costs O(new data) regardless of WAL
     length (apply_all_direct stays the full-replay resync)."""
-    from lakecdc.apply import fold_chunks, pending_epochs
+    from lakecdc.apply import _plan_apply, pending_epochs
 
-    return fold_chunks(
-        pending_epochs(cfg), fold, lambda es: apply_epochs_direct(cfg, es)
+    return _plan_apply(
+        cfg, pending_epochs(cfg), fold, lambda es: apply_epochs_direct(cfg, es)
     )

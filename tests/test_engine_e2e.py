@@ -803,3 +803,177 @@ def test_forget_scrubs_quarantine_too(tmp_root):
     forget(cfg, [victim])
     assert victim not in wal_mod.quarantined_doc_ids(cfg)
     assert_forgotten(cfg, [victim])  # lake AND quarantine byte-clean
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order applies (round-4 review: confirmed silent-loss repro).
+# An epoch applied ahead of the frontier must not make later backfills
+# of the skipped epochs invisible: the backfill folds onto the full
+# current view and commits into the frontier epoch's compaction slot.
+# ---------------------------------------------------------------------------
+
+
+def test_out_of_order_apply_then_pending_converges(tmp_root):
+    """apply_epoch(2) first, then apply_pending drains [0, 1]: the lake
+    must equal the oracle (the old code committed the backfill at epoch
+    1, which epoch 2's base superseded — silent row loss)."""
+    from lakecdc.apply import apply_pending, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    assert pending_epochs(cfg) == [0, 1]
+    apply_pending(cfg)
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    # the tick is idempotent: another pending drain changes nothing
+    apply_pending(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_out_of_order_in_span_gap_fold1_converges(tmp_root):
+    """apply_epoch(1) out of order, then apply_pending with fold=1 —
+    pending [0, 2] used to chunk into separate applies whose epoch-0
+    base was superseded by epoch 1's."""
+    from lakecdc.apply import apply_pending, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 1)
+    assert pending_epochs(cfg) == [0, 2]
+    apply_pending(cfg, fold=1)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_out_of_order_direct_path_converges(tmp_root):
+    """Same scenario on the direct push-exchange engine."""
+    from lakecdc.exchange import apply_epochs_direct, apply_pending_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epochs_direct(cfg, [2])
+    apply_pending_direct(cfg)
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_out_of_order_partial_engine_converges(tmp_root):
+    """Backfill machinery on the partial engine: per-field folds onto
+    the full view, committed in the compaction namespace."""
+    from lakecdc.apply import apply_pending
+
+    cfg = make_cfg(tmp_root, merge_engine="partial")
+    gen(cfg, p_patch=0.3)
+    apply_epoch(cfg, 2)
+    apply_pending(cfg)
+    from lakecdc.oracle import replay_partial
+
+    want = replay_partial(cfg.wal_dir)
+    got = read_lake_local(cfg)
+    oracle.assert_lake_equals_oracle(got, want)
+
+
+def test_out_of_order_epoch_by_epoch_converges(tmp_root):
+    """apply_epoch(0) after apply_epoch(2) EXPANDS to all incomplete
+    below-frontier epochs ([0, 1]) in one backfill fold — the frontier
+    epoch has exactly one compaction slot per partition, so the
+    backfill must happen as one commit. The follow-up apply_epoch(1)
+    is then a completed-epoch no-op and the lake equals the oracle."""
+    from lakecdc.apply import pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    apply_epoch(cfg, 0)  # expands to backfill [0, 1]
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    apply_epoch(cfg, 1)  # already complete: pure no-op
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_backfill_slot_collision_raises(tmp_root):
+    """Safety net under the public API: a DIFFERENT backfill set
+    hitting an occupied frontier compaction slot raises instead of
+    silently no-opping its events away (unit-level — the public apply
+    paths make this unreachable by folding all below-frontier epochs
+    at once)."""
+    import pyarrow as pa
+
+    from lakecdc.apply import merge_and_commit
+    from lakecdc.schemas import WAL_SCHEMA_V1
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    apply_epoch(cfg, 0)  # legit backfill occupies the epoch-2 slot
+    events = pa.table(
+        {
+            "lsn": pa.array([1], type="int64"),
+            "op": ["upsert"],
+            "doc_id": ["d0"],
+            "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2], type="int32"),
+            "source": ["s"],
+            "_invalid": [False],
+        }
+    )
+    with pytest.raises(RuntimeError, match="compaction record"):
+        merge_and_commit(
+            cfg, 2, 0, None, events, compaction=True, backfill_epochs=[7]
+        )
+
+
+def test_forget_fences_late_quarantine_and_resubmit(tmp_root):
+    """Round-4 review finding: a victim's invalid events still sitting
+    in the (non-custody) WAL must not be re-materialized into the
+    quarantine by LATER dead-letter maintenance, and a later repaired
+    resubmit must not resurrect the doc — the persistent forgotten
+    registry fences both forever."""
+    import pyarrow as pa
+
+    from lakecdc import wal as wal_mod
+    from lakecdc.forget import assert_forgotten, forget
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg, n_epochs=2, p_invalid=0.15)
+    apply_all(cfg)
+    # find a doc with an invalid event WITHOUT materializing quarantine
+    bad = (
+        wal_mod.read_changelog(cfg, include_invalid=True)
+        .filter(expr="_invalid == True")
+        .to_pandas()
+    )
+    victims = sorted(d for d in bad["doc_id"].dropna().unique() if d)
+    assert victims
+    victim = victims[0]
+
+    forget(cfg, [victim])  # quarantine dirs don't exist yet
+    assert_forgotten(cfg, [victim])
+
+    # LATER routine dead-letter maintenance must not restore custody
+    wal_mod.quarantine_epochs(cfg)
+    assert victim not in wal_mod.quarantined_doc_ids(cfg)
+    assert_forgotten(cfg, [victim])
+
+    # a sanctioned repair+resubmit of the victim's payload is fenced
+    repaired = pa.table(
+        {
+            "lsn": pa.array([1], type=pa.int64()),
+            "op": ["upsert"],
+            "doc_id": [victim],
+            "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2], type=pa.int32()),
+            "source": pa.array(["repair"]),
+        }
+    )
+    from lakecdc.apply import apply_pending
+
+    wal_mod.resubmit_epoch(cfg, repaired)
+    apply_pending(cfg)
+    lake = read_lake_local(cfg)
+    assert victim not in set(lake["doc_id"])
+    assert_forgotten(cfg, [victim])
+
+    # but a RE-forget (tombstones = deletes) still flows: registry must
+    # not fence delete ops
+    out = forget(cfg, [victim])
+    assert out["n_requested"] == 1
