@@ -163,9 +163,9 @@ def compact(
     if not view:
         return {}
     if as_epoch is None:
-        pending = [
-            e for e in wal.list_epochs(cfg) if not manifest.epoch_complete(cfg, e)
-        ]
+        from lakecdc.apply import pending_epochs
+
+        pending = pending_epochs(cfg)
         if pending:
             raise RuntimeError(
                 f"cannot compact: WAL epochs {pending} not applied to completion; "
@@ -203,11 +203,18 @@ def maybe_compact(cfg: EngineConfig, max_chain: int) -> dict[int, dict] | None:
         return None
     try:
         return compact(cfg, partitions=over)
-    except RuntimeError:
+    except RuntimeError as e:
         # WAL moved ahead between this tick's apply and now (live
         # producer): skip — compaction is maintenance, never worth
-        # killing the tailer over; the next tick retries.
-        return None
+        # killing the tailer over; the next tick retries. ONLY the
+        # pending-WAL guard is skippable — a RuntimeError from inside a
+        # compaction task (Ray re-raises remote errors as RayTaskError
+        # subclasses of the original type) is a real failure and must
+        # surface, or the chain grows unboundedly while the follow loop
+        # retries forever (round-4 review finding).
+        if "cannot compact" in str(e):
+            return None
+        raise
 
 
 def vacuum(cfg: EngineConfig, retain_epochs: int = 0) -> list[str]:

@@ -188,13 +188,25 @@ def json_roundtrip(sf_dir: str, n_shards: int = 8) -> "pd.DataFrame":
         try:
             os.rename(tmp, d)
         except OSError:
-            if len(os.listdir(d)) == n_shards:
+            try:
+                complete = len(os.listdir(d)) == n_shards
+            except FileNotFoundError:
+                complete = False  # a racing recoverer moved d aside
+            if complete:
                 shutil.rmtree(tmp, ignore_errors=True)  # racer won
             else:
                 trash = f"{d}.trash.{os.getpid()}"
                 shutil.rmtree(trash, ignore_errors=True)
-                os.rename(d, trash)
-                os.rename(tmp, d)
+                try:
+                    os.rename(d, trash)
+                except FileNotFoundError:
+                    pass  # another recoverer took the corpse — d is free
+                try:
+                    os.rename(tmp, d)
+                except OSError:
+                    # the other recoverer committed its (identical,
+                    # deterministic) build first: fall back to it
+                    shutil.rmtree(tmp, ignore_errors=True)
                 shutil.rmtree(trash, ignore_errors=True)
 
     ds = rd.read_json([os.path.join(d, f"shard-{s}.jsonl") for s in range(n_shards)])

@@ -79,6 +79,13 @@ def forget(
     # engine's custody — scrub the victims there too, BEFORE compacting
     # (compaction retains tombstones for still-quarantined doc_ids, and
     # a scrubbed victim needs no fence, so its tombstone can drop).
+    # Register the victims FIRST (round-4 review finding): the WAL may
+    # still hold invalid victim events that never passed through
+    # quarantine_epochs; the persistent registry makes later
+    # dead-letter maintenance and resubmits filter them out forever, so
+    # a completed erasure can never be silently undone by routine
+    # quarantine materialization or a sanctioned repair.
+    wal.register_forgotten(cfg, ids)
     wal.purge_quarantined_doc_ids(cfg, ids)
     compact(cfg)
     deleted: list[str] = []

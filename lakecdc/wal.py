@@ -185,6 +185,22 @@ def quarantine_epochs(
         bad = read_changelog(
             cfg, from_epoch=e, to_epoch=e, include_invalid=True
         ).filter(expr="_invalid == True")
+        # never re-materialize a forgotten doc's payload into engine
+        # custody: the WAL may still hold its invalid events, but a
+        # completed erasure must stay complete (see forgotten_doc_ids)
+        forgotten = forgotten_doc_ids(cfg)
+        if forgotten:
+            fr = sorted(forgotten)
+            bad = bad.map_batches(
+                lambda t, fr=fr: t.filter(
+                    pc.invert(
+                        pc.fill_null(
+                            pc.is_in(t["doc_id"], value_set=pa.array(fr)), False
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
         tmp = final + f".tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         # pre-create: an all-valid epoch writes zero files, and the
@@ -214,6 +230,40 @@ def read_quarantine(cfg: EngineConfig, epoch: int) -> rd.Dataset:
     if not files:
         return rd.from_arrow(WAL_SCHEMA_V1.empty_table())
     return rd.read_parquet(files)
+
+
+def forgotten_doc_ids(cfg: EngineConfig) -> set[str]:
+    """The persistent right-to-be-forgotten registry: doc_ids whose
+    payloads must never re-enter engine custody. ``forget`` registers
+    its victims here; ``quarantine_epochs`` and ``resubmit_epoch``
+    filter against it — otherwise an invalid victim event still
+    sitting in the (non-custody) WAL would be re-materialized into the
+    quarantine by later dead-letter maintenance, violating a completed
+    erasure (round-4 review finding)."""
+    path = os.path.join(cfg.root, "forgotten", "ids.json")
+    if not os.path.exists(path):
+        return set()
+    import json
+
+    with open(path) as f:
+        return set(json.load(f))
+
+
+def register_forgotten(cfg: EngineConfig, doc_ids: list[str]) -> None:
+    """Union ``doc_ids`` into the forgotten registry (atomic rewrite)."""
+    import json
+
+    from lakecdc.config import atomic_write
+
+    ids = forgotten_doc_ids(cfg) | {str(d) for d in doc_ids}
+    d = os.path.join(cfg.root, "forgotten")
+    os.makedirs(d, exist_ok=True)
+
+    def w(tmp):
+        with open(tmp, "w") as f:
+            json.dump(sorted(ids), f)
+
+    atomic_write(os.path.join(d, "ids.json"), w)
 
 
 def quarantined_doc_ids(cfg: EngineConfig) -> set[str]:
@@ -270,10 +320,24 @@ def resubmit_epoch(cfg: EngineConfig, table) -> int:
     can never clobber newer data. Atomic: written under a dot-prefixed
     temp name that the ``epoch=*`` discovery glob cannot match, then
     renamed into place."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from lakecdc.evolve import conform
     from lakecdc.schemas import WAL_SCHEMA_V1, wal_write_options
+
+    # the forgotten registry fences resubmits too: a repaired PAYLOAD
+    # event for an erased doc must not re-enter the stream (deletes
+    # pass — forget's own tombstones carry no payload and re-forgetting
+    # must keep working)
+    forgotten = forgotten_doc_ids(cfg)
+    if forgotten:
+        is_delete = pc.fill_null(pc.equal(table["op"], "delete"), False)
+        hits = pc.fill_null(
+            pc.is_in(table["doc_id"], value_set=pa.array(sorted(forgotten))),
+            False,
+        )
+        table = table.filter(pc.or_(is_delete, pc.invert(hits)))
 
     existing = list_epochs(cfg)
     e = (max(existing) + 1) if existing else 0

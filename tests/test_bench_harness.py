@@ -5,9 +5,10 @@ gate/timeout logic against a monkeypatched probe, and the probe record
 shape every bench JSON embeds.
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
