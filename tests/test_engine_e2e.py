@@ -977,3 +977,34 @@ def test_forget_fences_late_quarantine_and_resubmit(tmp_root):
     # not fence delete ops
     out = forget(cfg, [victim])
     assert out["n_requested"] == 1
+
+
+def test_backfill_crash_resume_converges(tmp_root):
+    """Crash-consistent mid-backfill state: completion markers are
+    written AFTER all partition reduces, so a crash leaves SOME
+    frontier compaction records and NO markers for the backfilled
+    epochs. The next apply_pending must retry the identical backfill —
+    existing slots no-op via the folded-epoch superset check, missing
+    partitions commit — and converge to the oracle."""
+    import glob as _glob
+
+    from lakecdc.apply import apply_pending, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    apply_pending(cfg)  # backfill [0, 1] -> compact records at epoch 2
+    compacts = sorted(
+        _glob.glob(os.path.join(cfg.manifest_dir, "epoch=000000002", "compact-*.json"))
+    )
+    assert compacts  # the backfill really used the compaction slot
+    # "crash": drop a subset of compact records and the completion
+    # markers the crashed run would not have written yet
+    for p in compacts[:: max(1, len(compacts) // 3)]:
+        os.remove(p)
+    for e in (0, 1):
+        os.remove(os.path.join(cfg.manifest_dir, f"epoch={e:09d}", "_complete.json"))
+    assert pending_epochs(cfg) == [0, 1]
+    apply_pending(cfg)  # resume: same backfill, idempotent
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
