@@ -235,13 +235,18 @@ def merge_and_commit(
         if compaction and not set(backfill_epochs or []) <= set(
             existing.get("backfill_epochs", [])
         ):
+            what = (
+                f"a prior backfill of epochs {existing['backfill_epochs']}"
+                if existing.get("backfill_epochs")
+                else "a maintenance compaction"
+            )
             raise RuntimeError(
-                f"partition {bucket} already holds a compaction record at "
-                f"epoch {epoch} (folded epochs "
-                f"{existing.get('backfill_epochs', 'n/a')}); cannot commit a "
-                f"different backfill {sorted(backfill_epochs or [])} into the "
-                "same slot — apply ALL below-frontier epochs in one "
-                "apply_pending call instead of epoch-by-epoch"
+                f"partition {bucket}'s compaction slot at epoch {epoch} is "
+                f"already held by {what}; cannot commit a different backfill "
+                f"{sorted(backfill_epochs or [])} into the same slot — drain "
+                "ALL below-frontier epochs in one apply_pending call (never "
+                "epoch-by-epoch), and only compact with an explicit as_epoch "
+                "once no WAL epoch is pending"
             )
         return existing  # resume/retry: no-op
 
@@ -338,28 +343,29 @@ def merge_and_commit(
         },
     }
     if compaction:
-        _stamp_backfill(cfg, record, epoch, bucket, backfill_epochs)
+        _stamp_backfill(record, backfill_epochs, merged)
     manifest.commit(cfg, record)
     return record
 
 
 def _stamp_backfill(
-    cfg: EngineConfig,
     record: dict,
-    epoch: int,
-    bucket: int,
     backfill_epochs: list[int] | None,
+    merged: pa.Table,
 ) -> None:
     """Mark a backfill commit: compaction namespace, folded-epoch list,
-    and a watermark that also covers the superseded apply record at the
-    same epoch (the folded view contained its rows, so the partition's
-    effective watermark must not regress below it)."""
+    and a watermark covering EVERYTHING the fold's output contains —
+    the folded view spans every prior epoch's rows for this partition
+    (not just the frontier epoch's), so the watermark is the max _lsn
+    of the merged state itself, never only this fold's events
+    (round-4 review: maxing against the frontier's own part record
+    alone regressed untouched-at-frontier partitions' watermarks)."""
     record["compaction"] = True
     record["backfill_epochs"] = sorted(backfill_epochs or [])
-    prior = manifest.read_record(cfg, epoch, bucket)
-    if prior is not None:
+    if merged.num_rows:
         record["lsn_watermark"] = max(
-            record["lsn_watermark"], prior.get("lsn_watermark", -1)
+            record["lsn_watermark"],
+            pc.max(merged["_lsn"]).as_py(),
         )
 
 
@@ -446,7 +452,7 @@ def _merge_and_commit_partial(
         },
     }
     if compaction:
-        _stamp_backfill(cfg, record, epoch, bucket, backfill_epochs)
+        _stamp_backfill(record, backfill_epochs, merged)
     manifest.commit(cfg, record)
     return record
 
@@ -476,6 +482,42 @@ def apply_epoch(cfg: EngineConfig, epoch: int) -> pa.Table:
     return apply_epochs(cfg, [epoch])
 
 
+def _backfill_plan(
+    cfg: EngineConfig, epochs: list[int]
+) -> tuple[list[int], int, list[int] | None]:
+    """Shared out-of-order plan for BOTH apply engines (round-4 review
+    fix, confirmed silent-loss repro): when an epoch ABOVE this fold's
+    commit epoch already has commits (an out-of-order apply ran first),
+    committing a base at the lower epoch would be superseded by the
+    higher base in manifest scan order and the folded rows would
+    silently vanish. Instead: expand the fold to EVERY incomplete
+    epoch up to AND INCLUDING the frontier (the frontier epoch itself
+    may be a crashed partial apply — its remaining events must join
+    this fold, or a later resume of it would commit part records the
+    backfill's compact record blinds; the frontier epoch has exactly
+    one compaction slot per partition, so the backfill must happen as
+    one fold), fold onto the FULL current view, and commit into the
+    frontier epoch's compaction-record slot, which supersedes its
+    apply records. Returns (epochs, commit_epoch, backfill_epochs) —
+    backfill_epochs is None on the normal path."""
+    epochs = sorted(epochs)
+    epoch = epochs[-1]
+    frontier = manifest.resume_point(cfg)
+    if frontier > epoch and any(
+        not manifest.epoch_complete(cfg, e) for e in epochs
+    ):
+        epochs = sorted(
+            set(epochs)
+            | {
+                e
+                for e in wal.list_epochs(cfg)
+                if e <= frontier and not manifest.epoch_complete(cfg, e)
+            }
+        )
+        return epochs, frontier, list(epochs)
+    return epochs, epoch, None
+
+
 def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     """Apply a RANGE of WAL epochs in ONE pipeline (one read, one
     shuffle, one merge+commit per partition), committed under the
@@ -496,33 +538,7 @@ def apply_epochs(cfg: EngineConfig, epochs: list[int]) -> pa.Table:
     if not epochs:
         return LINEAGE_SCHEMA.empty_table()
     cfg.save_meta()  # pin/validate the lake's physical parameters
-    epochs = sorted(epochs)
-    epoch = epochs[-1]  # commit epoch
-    # BACKFILL (round-4 review fix, confirmed silent-loss repro): when
-    # an epoch ABOVE this fold's commit epoch already has commits (an
-    # out-of-order apply ran first), committing a base at the lower
-    # epoch would be superseded by the higher base in manifest scan
-    # order and the folded rows would silently vanish. Instead: expand
-    # the fold to EVERY incomplete below-frontier epoch (the frontier
-    # epoch has exactly one compaction slot per partition, so the
-    # backfill must happen as one fold), fold onto the FULL current
-    # view, and commit into the frontier epoch's compaction-record
-    # slot, which supersedes its apply records.
-    frontier = manifest.resume_point(cfg)
-    backfill = None
-    if frontier > epoch and any(
-        not manifest.epoch_complete(cfg, e) for e in epochs
-    ):
-        epochs = sorted(
-            set(epochs)
-            | {
-                e
-                for e in wal.list_epochs(cfg)
-                if e < frontier and not manifest.epoch_complete(cfg, e)
-            }
-        )
-        backfill = list(epochs)
-        epoch = frontier
+    epochs, epoch, backfill = _backfill_plan(cfg, epochs)
     if len(epochs) == 1:
         ds = wal.read_segment(cfg, epochs[0])
     else:

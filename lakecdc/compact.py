@@ -38,6 +38,12 @@ from lakecdc.evolve import unify_concat
 from lakecdc.schemas import LAKE_FILE_SCHEMA, lake_write_options
 
 
+class PendingWalError(RuntimeError):
+    """compact()'s refuse-while-WAL-pending guard — typed so callers
+    (maybe_compact) can skip exactly this condition without swallowing
+    real failures whose message happens to contain similar text."""
+
+
 @ray.remote
 def _compact_partition(
     cfg: EngineConfig,
@@ -167,7 +173,7 @@ def compact(
 
         pending = pending_epochs(cfg)
         if pending:
-            raise RuntimeError(
+            raise PendingWalError(
                 f"cannot compact: WAL epochs {pending} not applied to completion; "
                 "run apply first"
             )
@@ -175,6 +181,23 @@ def compact(
     retain = sorted(wal.quarantined_doc_ids(cfg))
     if partitions is not None:
         view = {b: files for b, files in view.items() if b in partitions}
+    # An out-of-order BACKFILL may already occupy a partition's
+    # compaction slot at this epoch with an APPLY-fold record — not a
+    # maintenance compaction. Skip those partitions honestly (absent
+    # from the result) instead of returning the backfill's lineage as
+    # if tombstone compaction had run; their chain is already one base
+    # and they compact normally at the next epoch (round-4 review).
+    backfilled = {
+        b
+        for b in view
+        if (
+            r := manifest.read_record(cfg, as_epoch, b, compaction=True)
+        )
+        is not None
+        and r.get("backfill_epochs")
+    }
+    if backfilled:
+        view = {b: f for b, f in view.items() if b not in backfilled}
     futures = {
         b: _compact_partition.remote(
             cfg, b, files, snap[b]["lsn_watermark"], as_epoch, retain or None
@@ -203,18 +226,16 @@ def maybe_compact(cfg: EngineConfig, max_chain: int) -> dict[int, dict] | None:
         return None
     try:
         return compact(cfg, partitions=over)
-    except RuntimeError as e:
+    except PendingWalError:
         # WAL moved ahead between this tick's apply and now (live
         # producer): skip — compaction is maintenance, never worth
         # killing the tailer over; the next tick retries. ONLY the
-        # pending-WAL guard is skippable — a RuntimeError from inside a
-        # compaction task (Ray re-raises remote errors as RayTaskError
-        # subclasses of the original type) is a real failure and must
-        # surface, or the chain grows unboundedly while the follow loop
-        # retries forever (round-4 review finding).
-        if "cannot compact" in str(e):
-            return None
-        raise
+        # typed pending-WAL guard is skippable — any other error (incl.
+        # RayTaskError-wrapped RuntimeErrors from compaction tasks) is
+        # a real failure and must surface, or the chain grows
+        # unboundedly while the follow loop retries forever (round-4
+        # review finding).
+        return None
 
 
 def vacuum(cfg: EngineConfig, retain_epochs: int = 0) -> list[str]:

@@ -129,27 +129,10 @@ def apply_epochs_direct(
     if not epochs:
         return LINEAGE_SCHEMA.empty_table()
     cfg.save_meta()  # pin/validate the lake's physical parameters
-    epochs = sorted(epochs)
-    epoch = epochs[-1]
-    # BACKFILL (see apply.apply_epochs): expand to every incomplete
-    # below-frontier epoch — the frontier epoch has ONE compaction slot
-    # per partition, so the backfill must land as one fold — and commit
-    # into that slot over the full current view.
-    frontier = manifest.resume_point(cfg)
-    backfill = None
-    if frontier > epoch and any(
-        not manifest.epoch_complete(cfg, e) for e in epochs
-    ):
-        epochs = sorted(
-            set(epochs)
-            | {
-                e
-                for e in wal.list_epochs(cfg)
-                if e < frontier and not manifest.epoch_complete(cfg, e)
-            }
-        )
-        backfill = list(epochs)
-        epoch = frontier
+    # Shared out-of-order backfill plan (see apply._backfill_plan).
+    from lakecdc.apply import _backfill_plan
+
+    epochs, epoch, backfill = _backfill_plan(cfg, epochs)
     files = [
         f
         for e in epochs

@@ -177,6 +177,9 @@ def quarantine_epochs(
                     continue  # alive, different user
             shutil.rmtree(d, ignore_errors=True)
     out: dict[int, int] = {}
+    # read once: the registry cannot change mid-call, and a long WAL
+    # has hundreds of epochs
+    forgotten = sorted(forgotten_doc_ids(cfg))
     for e in epochs if epochs is not None else list_epochs(cfg):
         final = quarantine_dir(cfg, e)
         if e in done:
@@ -188,9 +191,8 @@ def quarantine_epochs(
         # never re-materialize a forgotten doc's payload into engine
         # custody: the WAL may still hold its invalid events, but a
         # completed erasure must stay complete (see forgotten_doc_ids)
-        forgotten = forgotten_doc_ids(cfg)
         if forgotten:
-            fr = sorted(forgotten)
+            fr = forgotten
             bad = bad.map_batches(
                 lambda t, fr=fr: t.filter(
                     pc.invert(
@@ -240,30 +242,36 @@ def forgotten_doc_ids(cfg: EngineConfig) -> set[str]:
     sitting in the (non-custody) WAL would be re-materialized into the
     quarantine by later dead-letter maintenance, violating a completed
     erasure (round-4 review finding)."""
-    path = os.path.join(cfg.root, "forgotten", "ids.json")
-    if not os.path.exists(path):
-        return set()
     import json
 
-    with open(path) as f:
-        return set(json.load(f))
+    ids: set[str] = set()
+    for p in glob.glob(os.path.join(cfg.root, "forgotten", "*.json")):
+        with open(p) as f:
+            ids.update(json.load(f))
+    return ids
 
 
 def register_forgotten(cfg: EngineConfig, doc_ids: list[str]) -> None:
-    """Union ``doc_ids`` into the forgotten registry (atomic rewrite)."""
+    """Add ``doc_ids`` to the forgotten registry. APPEND-only: each
+    call writes its own atomically-created file and readers union every
+    file, so two concurrent forget() calls can never lose each other's
+    victims to a read-modify-write race (round-4 review finding) —
+    exactly the manifest's atomic-create commit discipline."""
     import json
+    import uuid
 
     from lakecdc.config import atomic_write
 
-    ids = forgotten_doc_ids(cfg) | {str(d) for d in doc_ids}
     d = os.path.join(cfg.root, "forgotten")
     os.makedirs(d, exist_ok=True)
 
     def w(tmp):
         with open(tmp, "w") as f:
-            json.dump(sorted(ids), f)
+            json.dump(sorted({str(x) for x in doc_ids}), f)
 
-    atomic_write(os.path.join(d, "ids.json"), w)
+    atomic_write(
+        os.path.join(d, f"ids-{os.getpid()}-{uuid.uuid4().hex[:12]}.json"), w
+    )
 
 
 def quarantined_doc_ids(cfg: EngineConfig) -> set[str]:
@@ -329,15 +337,24 @@ def resubmit_epoch(cfg: EngineConfig, table) -> int:
     # the forgotten registry fences resubmits too: a repaired PAYLOAD
     # event for an erased doc must not re-enter the stream (deletes
     # pass — forget's own tombstones carry no payload and re-forgetting
-    # must keep working)
+    # must keep working). Fenced drops are COUNTED, never silent (the
+    # F5 discipline): the count is persisted beside the epoch as
+    # _fenced.json and auditable after the fact.
+    from lakecdc.config import OP_DELETE
+
+    n_fenced = 0
     forgotten = forgotten_doc_ids(cfg)
     if forgotten:
-        is_delete = pc.fill_null(pc.equal(table["op"], "delete"), False)
+        is_delete = pc.fill_null(pc.equal(table["op"], OP_DELETE), False)
         hits = pc.fill_null(
             pc.is_in(table["doc_id"], value_set=pa.array(sorted(forgotten))),
             False,
         )
-        table = table.filter(pc.or_(is_delete, pc.invert(hits)))
+        keep = pc.or_(is_delete, pc.invert(hits))
+        n_fenced = table.num_rows - (
+            pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+        )
+        table = table.filter(keep)
 
     existing = list_epochs(cfg)
     e = (max(existing) + 1) if existing else 0
@@ -352,5 +369,10 @@ def resubmit_epoch(cfg: EngineConfig, table) -> int:
         os.path.join(tmp, "seg-0.parquet"),
         **wal_write_options(WAL_SCHEMA_V1),
     )
+    if n_fenced:
+        import json
+
+        with open(os.path.join(tmp, "_fenced.json"), "w") as f:
+            json.dump({"rows_fenced_forgotten": int(n_fenced)}, f)
     os.rename(tmp, final)
     return e

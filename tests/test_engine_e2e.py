@@ -916,7 +916,7 @@ def test_backfill_slot_collision_raises(tmp_root):
             "_invalid": [False],
         }
     )
-    with pytest.raises(RuntimeError, match="compaction record"):
+    with pytest.raises(RuntimeError, match="compaction slot"):
         merge_and_commit(
             cfg, 2, 0, None, events, compaction=True, backfill_epochs=[7]
         )
@@ -1007,4 +1007,58 @@ def test_backfill_crash_resume_converges(tmp_root):
     assert pending_epochs(cfg) == [0, 1]
     apply_pending(cfg)  # resume: same backfill, idempotent
     assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_out_of_order_crashed_frontier_apply_converges(tmp_root):
+    """Round-4 follow-up review (confirmed repro): the out-of-order
+    apply itself crashed mid-epoch (subset of part records, no
+    completion marker). The pending drain must fold the frontier
+    epoch's REMAINING events into the same backfill — otherwise a later
+    resume of the frontier epoch commits part records that the
+    backfill's compact record blinds, and the lake diverges silently."""
+    import glob as _glob
+
+    from lakecdc.apply import apply_pending, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    parts = sorted(
+        _glob.glob(os.path.join(cfg.manifest_dir, "epoch=000000002", "part-*.json"))
+    )
+    assert len(parts) > 2
+    for p in parts[: len(parts) // 2]:  # crash: half the partitions
+        os.remove(p)
+    os.remove(os.path.join(cfg.manifest_dir, "epoch=000000002", "_complete.json"))
+    assert pending_epochs(cfg) == [0, 1, 2]
+    apply_pending(cfg)
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_backfill_never_regresses_watermarks(tmp_root):
+    """Round-4 follow-up review (confirmed repro): a backfill's compact
+    record must carry a watermark covering the partition's FULL folded
+    state — on sparse lakes a partition touched by earlier epochs but
+    not the frontier epoch used to regress to the backfill events' own
+    lsn range, which would let forget() mint tombstone LSNs below
+    already-applied events."""
+    from lakecdc.apply import apply_pending
+
+    cfg = make_cfg(tmp_root, num_buckets=64)
+    gen(cfg, n_docs=40, events_per_epoch=25)
+    apply_epoch(cfg, 1)
+    apply_epoch(cfg, 2)
+    before = {
+        b: r["lsn_watermark"] for b, r in manifest.snapshot(cfg).items()
+    }
+    apply_pending(cfg)  # backfills [0]
+    after = {b: r["lsn_watermark"] for b, r in manifest.snapshot(cfg).items()}
+    regressed = {
+        b: (before[b], after[b])
+        for b in before
+        if b in after and after[b] < before[b]
+    }
+    assert not regressed, f"watermarks regressed: {regressed}"
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
