@@ -189,6 +189,17 @@ class PartitionMerger:
                 else (epoch - 1 if base_epoch is None else base_epoch)
             ),
         )
+        # backfill watermark floor: the superseded snapshot records'
+        # watermarks (the merged state's max _lsn can miss an
+        # already-compacted-away max-LSN tombstone — see _stamp_backfill)
+        self.prev_wm: dict[int, int] = (
+            {
+                b: r["lsn_watermark"]
+                for b, r in manifest.snapshot(cfg).items()
+            }
+            if backfill_epochs is not None
+            else {}
+        )
 
     def __call__(self, group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
@@ -200,6 +211,7 @@ class PartitionMerger:
             group.drop_columns(["bucket"]),
             compaction=self.backfill_epochs is not None,
             backfill_epochs=self.backfill_epochs,
+            prev_watermark=self.prev_wm.get(bucket),
         )
         return _lineage_row(record)
 
@@ -213,6 +225,7 @@ def merge_and_commit(
     *,
     compaction: bool = False,
     backfill_epochs: list[int] | None = None,
+    prev_watermark: int | None = None,
 ) -> dict:
     """The per-partition reduce: global LWW compact of this bucket's
     delta, merge against the lake partition, atomic file write,
@@ -264,6 +277,7 @@ def merge_and_commit(
             n_invalid,
             compaction=compaction,
             backfill_epochs=backfill_epochs,
+            prev_watermark=prev_watermark,
         )
     if events.num_rows:
         lsn_lo = pc.min(events["lsn"]).as_py()
@@ -343,7 +357,7 @@ def merge_and_commit(
         },
     }
     if compaction:
-        _stamp_backfill(record, backfill_epochs, merged)
+        _stamp_backfill(record, backfill_epochs, merged, prev_watermark)
     manifest.commit(cfg, record)
     return record
 
@@ -352,14 +366,17 @@ def _stamp_backfill(
     record: dict,
     backfill_epochs: list[int] | None,
     merged: pa.Table,
+    prev_watermark: int | None,
 ) -> None:
     """Mark a backfill commit: compaction namespace, folded-epoch list,
     and a watermark covering EVERYTHING the fold's output contains —
     the folded view spans every prior epoch's rows for this partition
-    (not just the frontier epoch's), so the watermark is the max _lsn
-    of the merged state itself, never only this fold's events
-    (round-4 review: maxing against the frontier's own part record
-    alone regressed untouched-at-frontier partitions' watermarks)."""
+    (not just the frontier epoch's), so max the watermark over the
+    merged state's _lsn AND the superseded snapshot record's watermark
+    (round-4 review, two rounds: maxing against the frontier's own
+    part record alone regressed untouched-at-frontier partitions; the
+    merged _lsn alone can still miss an already-compacted-away max-LSN
+    tombstone, which only the prior record's watermark remembers)."""
     record["compaction"] = True
     record["backfill_epochs"] = sorted(backfill_epochs or [])
     if merged.num_rows:
@@ -367,6 +384,8 @@ def _stamp_backfill(
             record["lsn_watermark"],
             pc.max(merged["_lsn"]).as_py(),
         )
+    if prev_watermark is not None:
+        record["lsn_watermark"] = max(record["lsn_watermark"], prev_watermark)
 
 
 def _key_range(merged: pa.Table) -> list[str] | None:
@@ -388,6 +407,7 @@ def _merge_and_commit_partial(
     *,
     compaction: bool = False,
     backfill_epochs: list[int] | None = None,
+    prev_watermark: int | None = None,
 ) -> dict:
     """Partial-engine reduce: fold this bucket's cell delta, merge (or
     persist as a merge-on-read delta), atomic write, idempotent commit.
@@ -452,7 +472,7 @@ def _merge_and_commit_partial(
         },
     }
     if compaction:
-        _stamp_backfill(record, backfill_epochs, merged)
+        _stamp_backfill(record, backfill_epochs, merged, prev_watermark)
     manifest.commit(cfg, record)
     return record
 
@@ -662,6 +682,12 @@ def _plan_apply(
     tables = []
     if below:
         tables.append(apply_fn(sorted(below)))
+        # the backfill fold absorbs every incomplete epoch up to AND
+        # including the frontier (_backfill_plan): re-running the
+        # now-complete frontier epoch would double-count its events in
+        # lineage and write immediately-superseded files, so keep only
+        # epochs still incomplete after the backfill
+        rest = [e for e in rest if not manifest.epoch_complete(cfg, e)]
     tables.append(fold_chunks(rest, fold, apply_fn))
     tables = [t for t in tables if t.num_rows]
     if not tables:

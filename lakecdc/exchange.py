@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 import ray
 
 from lakecdc import manifest, wal
-from lakecdc.apply import make_prep_fn, merge_and_commit
+from lakecdc.apply import _backfill_plan, make_prep_fn, merge_and_commit
 from lakecdc.config import EngineConfig
 from lakecdc.evolve import unify_concat
 from lakecdc.schemas import LINEAGE_SCHEMA, PARTIAL_FILE_SCHEMA, WAL_SCHEMA_V1
@@ -97,6 +97,7 @@ def _reduce_bucket(
     bucket: int,
     prev_files: list[str] | None,
     backfill_epochs: list[int] | None,
+    prev_watermark: int | None,
     *group_parts: pa.Table,
 ):
     parts = []
@@ -119,6 +120,7 @@ def _reduce_bucket(
         events,
         compaction=backfill_epochs is not None,
         backfill_epochs=backfill_epochs,
+        prev_watermark=prev_watermark,
     )
 
 
@@ -130,8 +132,6 @@ def apply_epochs_direct(
         return LINEAGE_SCHEMA.empty_table()
     cfg.save_meta()  # pin/validate the lake's physical parameters
     # Shared out-of-order backfill plan (see apply._backfill_plan).
-    from lakecdc.apply import _backfill_plan
-
     epochs, epoch, backfill = _backfill_plan(cfg, epochs)
     files = [
         f
@@ -172,6 +172,12 @@ def apply_epochs_direct(
     prev = manifest.partition_view(
         cfg, up_to_epoch=None if backfill is not None else epoch - 1
     )
+    # backfill watermark floor (see apply._stamp_backfill)
+    prev_wm = (
+        {b: r["lsn_watermark"] for b, r in manifest.snapshot(cfg).items()}
+        if backfill is not None
+        else {}
+    )
     reduce_out = [
         _reduce_bucket.remote(
             cfg,
@@ -179,6 +185,7 @@ def apply_epochs_direct(
             b,
             prev.get(b),
             backfill,
+            prev_wm.get(b),
             *[refs[b // per] for refs in map_out],
         )
         for b in range(B)

@@ -177,9 +177,6 @@ def quarantine_epochs(
                     continue  # alive, different user
             shutil.rmtree(d, ignore_errors=True)
     out: dict[int, int] = {}
-    # read once: the registry cannot change mid-call, and a long WAL
-    # has hundreds of epochs
-    forgotten = sorted(forgotten_doc_ids(cfg))
     for e in epochs if epochs is not None else list_epochs(cfg):
         final = quarantine_dir(cfg, e)
         if e in done:
@@ -190,9 +187,15 @@ def quarantine_epochs(
         ).filter(expr="_invalid == True")
         # never re-materialize a forgotten doc's payload into engine
         # custody: the WAL may still hold its invalid events, but a
-        # completed erasure must stay complete (see forgotten_doc_ids)
+        # completed erasure must stay complete (see forgotten_doc_ids).
+        # Re-read PER EPOCH, just before materializing: a concurrent
+        # forget() registering mid-call must be seen by every epoch
+        # still ahead of the scan — a call-wide snapshot would widen
+        # the stale window from one epoch to the whole WAL (round-4
+        # review); the registry read is a cheap metadata glob.
+        forgotten = forgotten_doc_ids(cfg)
         if forgotten:
-            fr = forgotten
+            fr = sorted(forgotten)
             bad = bad.map_batches(
                 lambda t, fr=fr: t.filter(
                     pc.invert(

@@ -1062,3 +1062,27 @@ def test_backfill_never_regresses_watermarks(tmp_root):
     }
     assert not regressed, f"watermarks regressed: {regressed}"
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_out_of_order_crashed_frontier_direct_path_converges(tmp_root):
+    """Direct-exchange twin of the crashed-frontier scenario: both
+    engines share _backfill_plan but have separate prev-view and
+    reduce paths; each must converge independently."""
+    import glob as _glob
+
+    from lakecdc.apply import pending_epochs
+    from lakecdc.exchange import apply_epochs_direct, apply_pending_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epochs_direct(cfg, [2])
+    parts = sorted(
+        _glob.glob(os.path.join(cfg.manifest_dir, "epoch=000000002", "part-*.json"))
+    )
+    assert len(parts) > 2
+    for p in parts[: len(parts) // 2]:
+        os.remove(p)
+    os.remove(os.path.join(cfg.manifest_dir, "epoch=000000002", "_complete.json"))
+    apply_pending_direct(cfg)
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
