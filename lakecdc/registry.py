@@ -1553,10 +1553,10 @@ cent{i + 1} AS (
         "WITH "
         + ",".join(w)
         + f"""
-SELECT f.cluster, COUNT(*) AS n, SUM(f.d2) AS inertia,
+SELECT f.cluster, COUNT(*) AS n, CAST(SUM(f.d2) AS BIGINT) AS inertia,
        MIN(l.centroid_l1) AS centroid_l1
 FROM asg{iters} f
-JOIN (SELECT cluster, SUM(ABS(c)) AS centroid_l1
+JOIN (SELECT cluster, CAST(SUM(ABS(c)) AS BIGINT) AS centroid_l1
       FROM cent{iters} GROUP BY cluster) l
   ON l.cluster = f.cluster
 GROUP BY f.cluster ORDER BY f.cluster"""
