@@ -519,12 +519,24 @@ def _backfill_plan(
     one fold), fold onto the FULL current view, and commit into the
     frontier epoch's compaction-record slot, which supersedes its
     apply records. Returns (epochs, commit_epoch, backfill_epochs) —
-    backfill_epochs is None on the normal path."""
+    backfill_epochs is None on the normal path.
+
+    The frontier may also sit INSIDE the fold (frontier == max(epochs),
+    e.g. apply_epoch(2) then apply_epochs([0, 1, 2])): the frontier
+    epoch already has committed part records, so on the normal path
+    those partitions would no-op and the lower epochs' rows would be
+    silently superseded, then sealed by mark_epoch_complete (round-5
+    review fix, confirmed 32-vs-38-row repro on both engines). Any
+    fold that carries an incomplete epoch BELOW the frontier must take
+    the backfill path; a fold whose only incomplete epoch IS the
+    frontier (crashed partial apply being resumed alone) stays on the
+    normal path — its part-record slots resume idempotently."""
     epochs = sorted(epochs)
     epoch = epochs[-1]
     frontier = manifest.resume_point(cfg)
-    if frontier > epoch and any(
-        not manifest.epoch_complete(cfg, e) for e in epochs
+    if frontier >= epoch and any(
+        e < frontier and not manifest.epoch_complete(cfg, e)
+        for e in epochs
     ):
         epochs = sorted(
             set(epochs)

@@ -890,6 +890,67 @@ def test_out_of_order_epoch_by_epoch_converges(tmp_root):
     oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
 
 
+def test_fold_including_committed_frontier_converges(tmp_root):
+    """apply_epoch(2) then apply_epochs([0, 1, 2]) — the fold INCLUDES
+    the already-committed frontier, so frontier == max(epochs) and the
+    old plan took the normal path: partitions with epoch-2 part records
+    no-opped and epochs 0-1's rows were silently lost, then sealed by
+    mark_epoch_complete (round-5 review fix; repro was 32 lake rows vs
+    38 oracle with pending=[])."""
+    from lakecdc.apply import apply_epochs, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 2)
+    apply_epochs(cfg, [0, 1, 2])
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+    # idempotent: re-running the same fold changes nothing
+    apply_epochs(cfg, [0, 1, 2])
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_fold_including_committed_frontier_direct_converges(tmp_root):
+    """Same frontier-inside-the-fold scenario on the push-exchange
+    engine (shares _backfill_plan)."""
+    from lakecdc.exchange import apply_epochs_direct
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epochs_direct(cfg, [2])
+    apply_epochs_direct(cfg, [0, 1, 2])
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
+def test_resume_crashed_frontier_alone_stays_normal_path(tmp_root):
+    """A fold whose ONLY incomplete epoch is the frontier itself (a
+    crashed partial apply being resumed alone) must stay on the normal
+    part-record path, not escalate to a full-view backfill: resume
+    completes idempotently and the lake equals the oracle."""
+    import glob as _glob
+    import os
+
+    from lakecdc.apply import apply_epochs, pending_epochs
+
+    cfg = make_cfg(tmp_root)
+    gen(cfg)
+    apply_epoch(cfg, 0)
+    apply_epoch(cfg, 1)
+    apply_epoch(cfg, 2)
+    # simulate a crash inside epoch 2: drop its completion marker and
+    # one part record so resume_point still reads 2 but it's incomplete
+    edir = os.path.join(cfg.manifest_dir, "epoch=000000002")
+    os.remove(os.path.join(edir, "_complete.json"))
+    parts = sorted(_glob.glob(os.path.join(edir, "part-*.json")))
+    assert parts
+    os.remove(parts[0])
+    assert pending_epochs(cfg) == [2]
+    apply_epochs(cfg, [2])  # resume: normal path, no compact records
+    assert not _glob.glob(os.path.join(edir, "compact-*.json"))
+    assert pending_epochs(cfg) == []
+    oracle.assert_lake_equals_oracle(read_lake_local(cfg), oracle.replay(cfg.wal_dir))
+
+
 def test_backfill_slot_collision_raises(tmp_root):
     """Safety net under the public API: a DIFFERENT backfill set
     hitting an occupied frontier compaction slot raises instead of
