@@ -27,10 +27,22 @@ import ray
 import ray.data as rd
 
 from lakecdc.qutil import read, read_small
+from lakecdc.text import WS_CHARS, WS_RE
+
+
+_WS_SPLIT = None  # compiled lazily; WS_RE is the RE2 \s class (see lakecdc.text)
 
 
 def _token_sets(texts: pd.Series) -> list[set[str]]:
-    return [set(t.strip().split()) for t in texts]
+    global _WS_SPLIT
+    if _WS_SPLIT is None:
+        import re
+
+        _WS_SPLIT = re.compile(WS_RE)
+    return [
+        set(_WS_SPLIT.split(s)) if (s := (t or "").strip(WS_CHARS)) else set()
+        for t in texts
+    ]
 
 
 def _stable_u64(s: str) -> int:
@@ -53,9 +65,16 @@ def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(texts) == 0:
         z = np.zeros(0, dtype=np.int64)
         return np.array([], dtype=object), z, z
-    toks = texts.astype(object).str.strip().str.split()
+    # WS_CHARS/WS_RE: RE2's \s class, shared with every oracle (see
+    # lakecdc.text). The regex split of '' yields [''] but an empty doc
+    # has ZERO tokens here (the no-arg-split semantics this family was
+    # built on), so blank docs are masked out before measuring.
+    s = texts.astype(object).str.strip(WS_CHARS)
+    toks = s.str.split(WS_RE, regex=True).mask(s.fillna("").eq(""), other=None)
     lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-    flat = np.array([t for ts in toks for t in ts], dtype=object)
+    flat = np.array(
+        [t for ts in toks if isinstance(ts, list) for t in ts], dtype=object
+    )
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     return flat, lens, starts[lens > 0].astype(np.int64)
 

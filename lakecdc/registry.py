@@ -674,8 +674,12 @@ ORACLES: dict[str, str] = {
                    QUALIFY row_number() OVER (PARTITION BY user_id
                                               ORDER BY lsn DESC) = 1)
         SELECT d.user_id,
-               CASE WHEN v.lsn > d.del_lsn THEN v.vc END AS value_cents,
-               CASE WHEN p.lsn > d.del_lsn THEN p.pk END AS props_k,
+               -- CAST AS DOUBLE: these columns are nullable, and the
+               -- engine returns float64 (pandas NaN-nullable); without
+               -- the cast DuckDB's dtype flips int64/float64 depending
+               -- on whether the slice happens to contain a NULL
+               CAST(CASE WHEN v.lsn > d.del_lsn THEN v.vc END AS DOUBLE) AS value_cents,
+               CAST(CASE WHEN p.lsn > d.del_lsn THEN p.pk END AS DOUBLE) AS props_k,
                d.max_lsn AS lsn_watermark
         FROM d LEFT JOIN v ON d.user_id = v.user_id
                LEFT JOIN p ON d.user_id = p.user_id
@@ -802,7 +806,7 @@ ORACLES: dict[str, str] = {
     """,
     "token_count": """
         SELECT lang,
-               CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)) AS BIGINT)
                    AS total_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
@@ -817,7 +821,7 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "quality_score": """
-        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks, n_chars
+        WITH t AS (SELECT doc_id, regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks, n_chars
                    FROM documents)
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(FLOOR(n_chars / GREATEST(len(toks), 1) * 1e6 + 0.5) AS BIGINT)
@@ -839,7 +843,7 @@ ORACLES: dict[str, str] = {
     "lang_id": f"""
         WITH w AS (SELECT doc_id,
                           unnest(list_distinct(regexp_split_to_array(
-                              trim(lower(text)), '\\s+'))) AS tok
+                              regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
                    FROM documents),
              p(plang, tok) AS (VALUES {", ".join(
                  f"('{lang}','{wd}')"
@@ -862,7 +866,7 @@ ORACLES: dict[str, str] = {
     # SAME LangId.PROFILES), dedup = min doc_id per text, rollup.
     "corpus_prep": f"""
         WITH t AS (SELECT doc_id, text, lang, source,
-                          regexp_split_to_array(trim(text), '\\s+') AS toks
+                          regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
                    FROM documents),
              q AS (SELECT doc_id, text, lang, source,
                           CAST(len(toks) AS BIGINT) AS n_tokens
@@ -873,7 +877,7 @@ ORACLES: dict[str, str] = {
                          <= 600000),
              w AS (SELECT doc_id,
                           unnest(list_distinct(regexp_split_to_array(
-                              trim(lower(text)), '\\s+'))) AS tok
+                              regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
                    FROM q),
              p(plang, tok) AS (VALUES {", ".join(
                  f"('{lang}','{wd}')"
@@ -903,7 +907,7 @@ ORACLES: dict[str, str] = {
     # current doc, cuts every 2048 tokens.
     "pack_sequences": """
         WITH t AS (SELECT doc_id, source,
-                          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                          CAST(len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
                               AS n_tokens
                    FROM documents),
              c AS (SELECT doc_id, source, n_tokens,
@@ -922,7 +926,7 @@ ORACLES: dict[str, str] = {
     # keep a doc iff the running total BEFORE it is under budget.
     "token_budget_mix": """
         WITH t AS (SELECT doc_id, source,
-                          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                          CAST(len(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)
                               AS n_tokens
                    FROM documents),
              c AS (SELECT doc_id, source, n_tokens,
@@ -954,7 +958,7 @@ ORACLES: dict[str, str] = {
     """,
     "jaccard_dupes": """
         WITH tok AS (SELECT doc_id,
-                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                            unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
                      FROM documents),
              sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
              inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -972,7 +976,7 @@ ORACLES: dict[str, str] = {
     "neardup_components": """
         WITH RECURSIVE
              tok AS (SELECT doc_id,
-                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                            unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
                      FROM documents),
              sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
              inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -1000,7 +1004,7 @@ ORACLES: dict[str, str] = {
     # unpruned LSH path is exactly-equal to the all-pairs exact query
     "minhash_lsh_verified": """
         WITH tok AS (SELECT doc_id,
-                            unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                            unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
                      FROM documents),
              sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
              inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -1093,8 +1097,8 @@ ORACLES: dict[str, str] = {
     # int.from_bytes(md5(tok)[:8], 'little'); per-bit ±1 votes over
     # token multiplicities; bit set iff vote strictly positive.
     "simhash_verified": """
-        WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-                   FROM documents WHERE trim(text) <> ''),
+        WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
+                   FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
              h AS (SELECT doc_id, md5_number_upper(tok) AS hv FROM t),
              b AS (SELECT doc_id, g.i,
                           SUM(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -1411,7 +1415,7 @@ ORACLES: dict[str, str] = {
     "repetition_profile": r"""
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+                   string_split_regex(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w
             FROM documents
         ),
         bg AS (

@@ -19,6 +19,35 @@ from ray.data.aggregate import Count, Sum
 
 from lakecdc.qutil import read
 
+# RE2's \s class. The oracles tokenize with DuckDB regexp functions
+# and the engine's regex stages with pyarrow.compute — both RE2, whose
+# \s is exactly [ \t\n\r\f] (no \v, no unicode whitespace). Python's
+# str.strip()/re '\s' match a wider class, so every pandas kernel pins
+# this one explicitly or engine and oracle disagree on \v-bearing text
+# (ADVICE r4; caught by the non-space-whitespace parity test).
+WS_CHARS = " \t\n\r\f"
+WS_RE = r"[ \t\n\r\f]+"
+
+
+def _distinct_counts(toks: pd.Series) -> np.ndarray:
+    """Per-row count of DISTINCT tokens, vectorized: explode the batch
+    to one flat token array + row ids, drop duplicate (row, token)
+    pairs with one hash-based pass, count per row — the
+    repetition_profile kernel's corpus-level shape, replacing the
+    per-row ``map(lambda ws: len(set(ws)))`` loop."""
+    n = toks.str.len().fillna(0).astype("int64").to_numpy()
+    out = np.zeros(len(toks), dtype=np.int64)
+    if n.sum() == 0:
+        return out
+    flat = np.concatenate(
+        [np.asarray(x, dtype=object) for x in toks if isinstance(x, list)]
+    )
+    row = np.repeat(np.arange(len(n)), n)
+    uniq = pd.DataFrame({"r": row, "t": flat}).drop_duplicates()
+    vc = uniq["r"].value_counts()
+    out[vc.index.to_numpy()] = vc.to_numpy()
+    return out
+
 
 def token_count(sf_dir: str) -> pd.DataFrame:
     """Whitespace token counting, aggregated per language.
@@ -29,8 +58,8 @@ def token_count(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["lang", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas().str.strip()
-        n = s.str.split(r"\s+", regex=True).str.len().fillna(0).astype("int64")
+        s = t["text"].to_pandas().fillna("").str.strip(WS_CHARS)
+        n = s.str.split(WS_RE, regex=True).str.len().astype("int64")
         return pa.table({"lang": t["lang"], "n_tokens": pa.array(n)})
 
     out = (
@@ -77,10 +106,10 @@ def quality_score(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
 
     def f(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas().str.strip()
-        toks = s.str.split(r"\s+", regex=True)
-        n_tok = toks.str.len().fillna(0).astype("int64").to_numpy()
-        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64").to_numpy()
+        s = t["text"].to_pandas().fillna("").str.strip(WS_CHARS)
+        toks = s.str.split(WS_RE, regex=True)
+        n_tok = toks.str.len().astype("int64").to_numpy()
+        n_distinct = _distinct_counts(toks)
         n_chars = t["n_chars"].to_numpy()
         safe = np.maximum(n_tok, 1)
         cpt = np.floor(n_chars / safe * 1e6 + 0.5).astype("int64")
@@ -159,8 +188,8 @@ def repetition_profile(sf_dir: str) -> pd.DataFrame:
             return empty
         # null text -> '' (the oracle coalesces identically): a NaN in
         # toks would otherwise reach np.concatenate as a 0-d array
-        s = t["text"].to_pandas().fillna("").str.strip()
-        toks = s.str.split(r"\s+", regex=True)
+        s = t["text"].to_pandas().fillna("").str.strip(WS_CHARS)
+        toks = s.str.split(WS_RE, regex=True)
         n = toks.str.len().fillna(0).astype("int64").to_numpy()
         flat = np.concatenate(
             [np.asarray(x, dtype=object) for x in toks]
@@ -245,7 +274,7 @@ class LangId:
         ``argmax`` keeps the FIRST maximum over the sorted language
         list — identical to the oracle's ``ORDER BY s DESC, plang``."""
         batch = batch.reset_index(drop=True)
-        words = batch["text"].str.strip().str.lower().str.split(r"\s+", regex=True)
+        words = batch["text"].str.strip(WS_CHARS).str.lower().str.split(WS_RE, regex=True)
         ex = words.explode()
         pairs = pd.DataFrame(
             {"doc": ex.index.to_numpy(), "w": ex.to_numpy()}
@@ -298,10 +327,10 @@ def corpus_prep(
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["text"].str.strip()
-        toks = s.str.split(r"\s+", regex=True)
+        s = batch["text"].str.strip(WS_CHARS)
+        toks = s.str.split(WS_RE, regex=True)
         n_tok = toks.str.len().fillna(0).astype("int64")
-        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        n_distinct = pd.Series(_distinct_counts(toks), index=toks.index)
         safe = np.maximum(n_tok, 1)
         dup_e6 = np.floor((1.0 - n_distinct / safe) * 1e6 + 0.5).astype("int64")
         batch = batch.assign(n_tokens=n_tok)
@@ -702,8 +731,8 @@ def pack_sequences(
     ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def feat(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas().str.strip()
-        n = s.str.split(r"\s+", regex=True).str.len().fillna(0).astype("int64")
+        s = t["text"].to_pandas().fillna("").str.strip(WS_CHARS)
+        n = s.str.split(WS_RE, regex=True).str.len().astype("int64")
         ids = t["doc_id"].to_numpy()
         return pa.table(
             {
@@ -786,8 +815,8 @@ def token_budget_mix(
     ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def feat(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas().str.strip()
-        n = s.str.split(r"\s+", regex=True).str.len().fillna(0).astype("int64")
+        s = t["text"].to_pandas().fillna("").str.strip(WS_CHARS)
+        n = s.str.split(WS_RE, regex=True).str.len().astype("int64")
         ids = t["doc_id"].to_numpy()
         return pa.table(
             {

@@ -55,15 +55,78 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(name):
-    got = _normalize(_to_df(QUERIES[name](SF_DIR)))
+    got_raw = _to_df(QUERIES[name](SF_DIR))
     con = _duck(SF_DIR)
-    want = _normalize(con.execute(ORACLES[name]).fetchdf())
+    want_raw = con.execute(ORACLES[name]).fetchdf()
     con.close()
+    # Dtype parity on the RAW frames, before any normalization: the
+    # driver's value hash compares representations, so an oracle whose
+    # SUM() lands as HUGEINT->float64 against an engine int64 is a red
+    # driver row even when values are identical (the r04
+    # kmeans_embeddings failure class). Every oracle must CAST its
+    # aggregates to the engine's exact dtype.
+    got_dtypes = {c: str(got_raw[c].dtype) for c in got_raw.columns}
+    want_dtypes = {c: str(want_raw[c].dtype) for c in want_raw.columns}
+    assert got_dtypes == want_dtypes, (
+        f"{name}: dtype mismatch engine={got_dtypes} oracle={want_dtypes}"
+        " — add CAST discipline to the oracle SQL"
+    )
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["repetition_profile", "token_count", "quality_score", "pack_sequences"]
+)
+def test_text_oracles_agree_on_nonspace_whitespace(name, tmp_path):
+    """ADVICE r4: DuckDB trim() strips only spaces while the Python
+    kernels use .str.strip() (all whitespace) — latent on the
+    space-delimited synthetic corpus. The oracles now use a
+    whitespace-class trim; pin parity on text padded with tabs,
+    newlines, CRs and interior whitespace runs the corpus never has."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "\tfoo bar foo bar\n",
+        "  x\ty z\r\n\n",
+        "one two\t\tthree two three two three",
+        "\n\n",
+        "",
+        None,
+        " plain space padded ",
+        "a\vb\fc",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web", "books"] * (len(texts) // 2)),
+            "n_chars": pa.array(
+                [len(x) if x else 0 for x in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got_raw = _to_df(QUERIES[name](str(tmp_path)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want_raw = con.execute(ORACLES[name]).fetchdf()
+    con.close()
+    assert {c: str(got_raw[c].dtype) for c in got_raw.columns} == {
+        c: str(want_raw[c].dtype) for c in want_raw.columns
+    }
+    pd.testing.assert_frame_equal(
+        _normalize(got_raw), _normalize(want_raw), check_dtype=False, check_exact=True
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
