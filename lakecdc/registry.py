@@ -391,6 +391,12 @@ _DRIVER_ORDER_HEAD = [
     "grouped_quantiles",
     "json_ingest",
     "contamination_check",
+    # round-5 rotation: the two r04-new text ops promoted for their
+    # first driver rows (VERDICT r4 item 4), funded by demoting two
+    # multi-round-stable twins (quantiles, global_stats — see notes in
+    # _DRIVER_EXCLUDED).
+    "repetition_profile",
+    "redact_identifiers",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -417,10 +423,17 @@ _DRIVER_EXCLUDED = {
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
     #  expressions inside the composite pipeline)
-    "repetition_profile",  # new in r04 (never had a driver row to defend);
-    #  SQL-value-checked every pytest run — first rotation candidate for r05
-    "redact_identifiers",  # new in r04; SQL-value-checked every pytest run —
-    #  rotation candidate for r05 alongside repetition_profile
+    # round-5 rotation: repetition_profile and redact_identifiers
+    # (new in r04, SQL-value-checked every pytest run since) promoted
+    # into the head for their first driver rows; the two rows below
+    # fund the slots.
+    "quantiles",  # (grouped_quantiles: the kept strict superset — same
+    #  exact-quantile kernel plus the group dimension; quantiles itself
+    #  driver-green r01-r04, stays SQL-checked every pytest run)
+    "global_stats",  # driver-green r01-r04; its count/sum/min/max/avg
+    #  arithmetic appears inside the kept grouped_sum /
+    #  conditional_two_sum / grouped_quantiles oracles — demoted to
+    #  pytest-only to fund the r05 rotation
     "token_count",  # (corpus_prep's quality gate + rollup value-check the
     #  same whitespace token counting inside the composite pipeline)
     "token_count_regex",  # (same single-map shape as token_count; its RE2
