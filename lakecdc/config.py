@@ -12,6 +12,54 @@ import os
 from dataclasses import dataclass, field
 
 
+class InjectedCrash(RuntimeError):
+    """Raised by the crash-point fault hook (test-only, see below)."""
+
+
+def _fault_point(path: str, point: str) -> None:
+    """Crash-point fault injection for the crash-consistency fuzz
+    (tests/test_engine_e2e.py). Active ONLY when LAKECDC_FAULT_FUZZ=1
+    is exported before ray.init (so Ray workers inherit it); otherwise
+    a single dict lookup. When active, looks for a ``_faults.json``
+    control file in an ancestor directory of the write target (the
+    fuzz drops it at the lake root) holding ``{salt, mod, mode}`` and
+    deterministically raises on a salted hash of the target filename —
+    at ``before`` (no temp written), ``torn`` (temp written, rename
+    lost) or ``after`` (rename durable, the caller's next step dies).
+    Every atomic_write in every process — lake part files, manifest
+    records, completion markers, compact records — becomes a seedable
+    kill site, which is what lets the fuzz reach writes inside Ray
+    worker tasks without any plumbing."""
+    if os.environ.get("LAKECDC_FAULT_FUZZ") != "1":
+        return
+    import json
+    import zlib
+
+    d = os.path.dirname(os.path.abspath(path))
+    for _ in range(8):
+        ctl = os.path.join(d, "_faults.json")
+        if os.path.exists(ctl):
+            try:
+                with open(ctl) as f:
+                    plan = json.load(f)
+            except (OSError, ValueError):
+                return  # control file mid-swap: skip this site
+            if plan.get("mode", "torn") != point:
+                return
+            h = zlib.crc32(
+                f"{os.path.basename(path)}:{plan.get('salt', 0)}".encode()
+            )
+            if h % max(int(plan.get("mod", 3)), 1) == 0:
+                raise InjectedCrash(
+                    f"injected crash [{point}] at {os.path.basename(path)}"
+                )
+            return
+        parent = os.path.dirname(d)
+        if parent == d:
+            return
+        d = parent
+
+
 def atomic_write(path: str, write_fn) -> None:
     """Write-temp + atomic rename with a per-writer-unique temp name
     (pid alone collides across threads racing the same target — see
@@ -20,9 +68,12 @@ def atomic_write(path: str, write_fn) -> None:
     import uuid
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    _fault_point(path, "before")
     tmp = path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     write_fn(tmp)
+    _fault_point(path, "torn")
     os.replace(tmp, path)
+    _fault_point(path, "after")
 
 
 @dataclass(frozen=True)

@@ -1,10 +1,16 @@
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 import pytest
 import ray
+
+# Arm the crash-point fault hook BEFORE ray.init so Ray worker
+# processes inherit it (lakecdc.config._fault_point). A no-op single
+# dict lookup unless a test drops a _faults.json control file.
+os.environ["LAKECDC_FAULT_FUZZ"] = "1"
 
 
 @pytest.fixture(scope="session", autouse=True)
