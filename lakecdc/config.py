@@ -116,6 +116,14 @@ class EngineConfig:
     # their non-null fields (Debezium-style partial images) — per-field
     # last-writer-wins with delete fencing (lakecdc.merge fold_partial).
     merge_engine: str = "lww"
+    # Auto-compaction threshold for the secondary indexes (inverted
+    # token index + near-dup band index): after each update_index /
+    # update_dupindex epoch tick, any bucket whose epoch-delta chain
+    # exceeds this many files is folded to one base (index._compact_chains)
+    # — so a long-running follower's probe cost stays O(1) files per
+    # bucket without ever invoking the CLI --compact path. 0 disables
+    # (callers then own the compaction schedule).
+    index_compact_over: int = 8
     seed: int = 42
 
     @property

@@ -299,6 +299,9 @@ def update_dupindex(
         .map_groups(write_bb, batch_format="pyarrow")
         .to_pandas()
     )
+    from lakecdc.index import _auto_compact
+
+    _auto_compact(cfg, compact_dupindex)
     return int(counts["n"].sum()) if len(counts) else 0
 
 

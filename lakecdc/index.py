@@ -284,7 +284,20 @@ def update_index(
         .map_groups(write_tb, batch_format="pyarrow")
         .to_pandas()
     )
+    _auto_compact(cfg, compact_index)
     return int(counts["n"].sum()) if len(counts) else 0
+
+
+def _auto_compact(cfg: EngineConfig, compact_fn) -> dict[int, int] | None:
+    """maybe_compact for a secondary index (VERDICT r4 item 6): fold
+    exactly the bucket chains longer than ``cfg.index_compact_over``
+    after an update tick, so a continuous follower's read amplification
+    stays bounded with no CLI involvement. One directory listing per
+    tick; buckets within bound are untouched (no per-epoch re-fold)."""
+    over = getattr(cfg, "index_compact_over", 0)
+    if not over or over <= 0:
+        return None
+    return compact_fn(cfg, over=over)
 
 
 def build_index(
