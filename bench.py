@@ -453,10 +453,11 @@ def run_scaling() -> dict:
     # per-core rate inside a wave — BASELINE.md round-3 substrate
     # analysis), so under-sampling hi systematically UNDERestimates
     # efficiency. Hi attempts are also ~3x cheaper wall-clock than lo;
-    # default them to 2x so the hi best has more chances to land in a
-    # clear window. Per-level best over N attempts stays the estimator
-    # at both levels — no asymmetric statistic, just a better-sampled
-    # max at the wave-sensitive level.
+    # default them to 2x so a wave-decorrelated hi reading exists. The
+    # OFFICIAL ratio below uses only the first `attempts` hi draws
+    # (symmetric best-of-N at both levels — ADVICE r4: an asymmetric
+    # max would bias the headline upward); the extra-sampled hi best is
+    # reported separately as eff_hi_extra_sampled.
     attempts_hi = max(
         1, int(os.environ.get("GRAFT_SCALE_ATTEMPTS_HI", str(2 * attempts)))
     )
@@ -468,7 +469,15 @@ def run_scaling() -> dict:
             hi_runs.append(one(hi_n))
     tput = lambda r: r["events_applied"] / r["queries"]["cdc_apply"]  # noqa: E731
     lo = max(lo_runs, key=tput)
-    hi = max(hi_runs, key=tput)
+    # Official estimator is SYMMETRIC (ADVICE r4): best-of-N at both
+    # levels over the same number of draws (the first `attempts` hi
+    # draws, which are the ones interleaved 1:1 with the lo draws) —
+    # more draws at one level inflates the expected max there and would
+    # bias the headline ratio regardless of waves. The extra hi draws
+    # are still taken and DISCLOSED below (eff_hi_extra_sampled) as the
+    # wave-decorrelated reading, never as the headline.
+    hi = max(hi_runs[:attempts], key=tput)
+    hi_extra = max(hi_runs, key=tput)
     # Worst per-attempt host-condition reading across the session: each
     # child bench stamps its own probe; surfacing the minimum cache/mem
     # efficiency makes a contended --scaling session self-evident.
@@ -491,6 +500,13 @@ def run_scaling() -> dict:
         "e2e_sec_hi": hi["value"],
         "attempts_lo": len(lo_runs),
         "attempts_hi": len(hi_runs),
+        "attempts_hi_official": min(attempts, len(hi_runs)),
+        # best over ALL hi draws (the extra sampling), disclosed but
+        # never the headline value
+        "eff_hi_extra_sampled": round(
+            (tput(hi_extra) / tput_lo) / (hi_n / lo_n), 3
+        ),
+        "events_per_sec_hi_extra_sampled": round(tput(hi_extra), 1),
         "sf": SF_DIR,
         "contention_probe_hi_min": (
             {
