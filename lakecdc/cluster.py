@@ -55,23 +55,22 @@ def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def kmeans_embeddings(
-    sf_dir: str, k: int = 8, iters: int = 5
-) -> pd.DataFrame:
-    """k-means over `embeddings` with deterministic init (the k
-    smallest vec_ids' vectors). Returns one row per cluster:
-    (cluster, n, inertia, centroid_l1) — exact int64 digests of the
-    final assignment, equal to the single-process replay."""
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the k smallest vec_ids' quantized vectors."""
     import pyarrow.parquet as pq
-    import ray
 
     init_t = pq.read_table(
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
     order = np.argsort(init_t["vec_id"].to_numpy(zero_copy_only=False),
                        kind="stable")[:k]
-    C = _quantize(init_t["embedding"])[order]
-    del init_t
+    return _quantize(init_t["embedding"])[order]
+
+
+def _quantized_corpus(sf_dir: str):
+    """Materialized (vec_id, q:fixed_size_list<int64>) Dataset — the
+    iterative-reuse cache shared by the Lloyd loop and the digest /
+    assignment passes."""
 
     def quant(t: pa.Table) -> pa.Table:
         X = _quantize(t["embedding"])
@@ -84,19 +83,28 @@ def kmeans_embeddings(
             }
         )
 
-    ds = (
+    return (
         read(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()  # iterative reuse: cache the quantized corpus once
     )
+
+
+def _block_mat(t: pa.Table, d: int) -> np.ndarray:
+    q = t["q"]
+    if hasattr(q, "combine_chunks"):
+        q = q.combine_chunks()
+    return q.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+def _lloyd(ds, C: np.ndarray, iters: int) -> np.ndarray:
+    """The exact-int64 Lloyd loop over the cached quantized corpus:
+    per round ONE map_batches pass emits k partial rows (sum vector +
+    count) per block; the driver folds k x blocks tiny rows and
+    broadcasts the new centroids via ray.put. Returns final C."""
+    import ray
+
     d = C.shape[1]
-
-    def block_mat(t: pa.Table) -> np.ndarray:
-        q = t["q"]
-        if hasattr(q, "combine_chunks"):
-            q = q.combine_chunks()
-        return q.values.to_numpy(zero_copy_only=False).reshape(-1, d)
-
     for _ in range(iters):
         cref = ray.put(C)
 
@@ -104,7 +112,7 @@ def kmeans_embeddings(
             import ray as _ray
 
             Cb = _ray.get(cref)
-            X = block_mat(t)
+            X = _block_mat(t, d)
             a = _assign(X, Cb)
             rows_c, rows_n, rows_s = [], [], []
             for c in np.unique(a):
@@ -131,6 +139,25 @@ def kmeans_embeddings(
             n = int(g["n"].sum())
             newC[int(c)] = tot // n  # floor division: exact, replayable
         C = newC
+    return C
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, iters: int = 5
+) -> pd.DataFrame:
+    """k-means over `embeddings` with deterministic init (the k
+    smallest vec_ids' vectors). Returns one row per cluster:
+    (cluster, n, inertia, centroid_l1) — exact int64 digests of the
+    final assignment, equal to the single-process replay."""
+    import ray
+
+    C = _init_centroids(sf_dir, k)
+    ds = _quantized_corpus(sf_dir)
+    d = C.shape[1]
+    C = _lloyd(ds, C, iters)
+
+    def block_mat(t: pa.Table) -> np.ndarray:
+        return _block_mat(t, d)
 
     cref = ray.put(C)
 
@@ -158,6 +185,158 @@ def kmeans_embeddings(
     return agg.astype(
         {"cluster": "int64", "n": "int64", "inertia": "int64",
          "centroid_l1": "int64"}
+    )
+
+
+def semantic_dedup(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    flush_rows: int = 4096,
+) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clustering bounds the candidate space,
+    cosine near-dup pairs are found WITHIN clusters only, and each
+    duplicate component keeps one canonical representative — the
+    published recipe for semantic dedup without an O(N^2) all-pairs
+    scan. Returns one row per vector: (vec_id, cluster, component_id,
+    keep) with keep=1 iff vec_id is its component's minimum (singleton
+    vectors keep themselves).
+
+    Composition of the engine's existing exact primitives, so the
+    whole pipeline is SQL-replayable (registry._semdedup_sql):
+
+    1. clusters: the exact-int64 Lloyd loop (`_lloyd` — bit-identical
+       to the kmeans_embeddings digest and its unrolled-CTE oracle);
+    2. pairs: per-cluster unit-vector shards built by the streaming
+       flusher (ann._make_flusher — driver peak O(k x flush_rows),
+       never the corpus), then one task per within-cluster shard-pair
+       tile (dedup.shard_tile_pairs — every tile hard-bounded at
+       flush_rows x flush_rows regardless of cluster skew);
+    3. components: distributed hash-to-min label propagation over the
+       pair edges (dedup.connected_components — O(output) state, one
+       bounded shuffle per round, no driver-side graph);
+    4. verdicts: one map_batches pass over the cached quantized corpus
+       joins the broadcast component map (output-scale, ray.put once).
+
+    Cross-cluster near-dup pairs are NOT probed — by design, on both
+    the engine and oracle sides (the SemDeDup trade: recall bounded by
+    cluster assignment, cost bounded by sum of squared cluster sizes
+    instead of N^2)."""
+    import ray
+    import ray.data as rd
+
+    from lakecdc.ann import _make_flusher
+    from lakecdc.dedup import connected_components, shard_tile_pairs
+
+    C = _init_centroids(sf_dir, k)
+    ds = _quantized_corpus(sf_dir)
+    d = C.shape[1]
+    C = _lloyd(ds, C, iters)
+
+    # Pass 2: stream the float embeddings once, assign each batch with
+    # the EXACT int64 rule (same as the digest/oracle), flush each
+    # cluster's unit-normalized rows as bounded object-store shards.
+    bufs: dict[int, list] = {}
+    cells: dict[int, list] = {}
+    flush = _make_flusher(bufs, cells, flush_rows)
+    for b in read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = b["vec_id"].to_numpy()
+        X = _quantize(b["embedding"])
+        a = _assign(X, C)
+        emb = b["embedding"].combine_chunks()
+        V = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), d)
+        )
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+        for c in np.unique(a):
+            m = a == c
+            buf = bufs.setdefault(int(c), [])
+            buf.append((ids[m].astype(np.int64), Vn[m]))
+            if sum(len(x[0]) for x in buf) >= flush_rows:
+                flush(int(c))
+    for c in list(bufs):
+        flush(c, final=True)
+
+    tiles = [
+        {"c": int(c), "i": i, "j": j}
+        for c in sorted(cells)
+        for i in range(len(cells[c]))
+        for j in range(i, len(cells[c]))
+    ]
+    _EMPTY = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+
+    def cell_tile(batch: pa.Table) -> pa.Table:
+        outs = [_EMPTY]
+        for c, i, j in zip(
+            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
+        ):
+            ida, Va = ray.get(cells[c][i])
+            idb, Vb = ray.get(cells[c][j])
+            lo, hi, _ = shard_tile_pairs(
+                ida, Va, idb, Vb, diagonal=(i == j), threshold=threshold
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "a": pa.array(lo, type=pa.int64()),
+                        "b": pa.array(hi, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    edges = rd.from_items(tiles).map_batches(
+        cell_tile, batch_format="pyarrow", batch_size=1
+    ).materialize()  # output-scale (near-dup pairs only)
+    if edges.count():
+        comp_df = connected_components(edges)
+        comp_map = dict(zip(comp_df["node"], comp_df["comp"]))
+    else:
+        comp_map = {}
+    mref = ray.put(comp_map)
+    cref = ray.put(C)
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Cb = _ray.get(cref)
+        cm = _ray.get(mref)
+        X = _block_mat(t, d)
+        a = _assign(X, Cb)
+        ids = t["vec_id"].to_numpy()
+        comp = (
+            pd.Series(ids).map(cm).fillna(pd.Series(ids)).astype(np.int64).to_numpy()
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+                "component_id": pa.array(comp, type=pa.int64()),
+                "keep": pa.array((comp == ids).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(verdicts, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "cluster": "int64",
+                "component_id": "int64",
+                "keep": "int64",
+            }
+        )
     )
 
 

@@ -299,6 +299,11 @@ QUERIES: dict[str, Callable] = {
     # all (exact-int Lloyd unrolls into a CTE chain, _kmeans_sql), and
     # bit-identical to a single-process replay in pytest
     "kmeans_embeddings": cluster.kmeans_embeddings,
+    # SemDeDup-style semantic dedup (cluster-bounded cosine near-dup +
+    # canonical keep-min per component) — fully SQL-replayed: the
+    # kmeans CTE chain gives the exact assignment, list_cosine_
+    # similarity the pairs, WITH RECURSIVE the components
+    "semantic_dedup": cluster.semantic_dedup,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -397,6 +402,11 @@ _DRIVER_ORDER_HEAD = [
     # _DRIVER_EXCLUDED).
     "repetition_profile",
     "redact_identifiers",
+    # round-5 addition: SemDeDup-style semantic dedup (kmeans-bounded
+    # cosine components + canonical keep) — a new composite kernel,
+    # fully SQL-value-checked; funded by demoting ngram_jaccard (see
+    # the note in _DRIVER_EXCLUDED).
+    "semantic_dedup",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -427,6 +437,11 @@ _DRIVER_EXCLUDED = {
     # (new in r04, SQL-value-checked every pytest run since) promoted
     # into the head for their first driver rows; the two rows below
     # fund the slots.
+    "ngram_jaccard",  # driver-green r04; its exact n-gram-Jaccard
+    #  pair oracle is the same tok/sizes/inter SQL shape the kept
+    #  minhash_lsh_verified value-checks every round — demoted to
+    #  pytest-only to fund the r05 semantic_dedup slot (dedup-family
+    #  count in the view stays flat)
     "quantiles",  # (grouped_quantiles: the kept strict superset — same
     #  exact-quantile kernel plus the group dimension; quantiles itself
     #  driver-green r01-r04, stays SQL-checked every pytest run)
@@ -1508,20 +1523,19 @@ ORACLES: dict[str, str] = {
 }
 
 
-def _kmeans_sql(k: int = 8, iters: int = 5) -> str:
-    """Exact DuckDB replay of cluster.kmeans_embeddings — possible
-    because the engine's Lloyd loop is EXACT INTEGER (floor(x*1e6)
-    quantization, int64 distances, floor-division centroid means,
-    argmin ties to the lowest cluster id), so a fixed iteration count
-    unrolls into a WITH chain with no float-order sensitivity. Each
-    iteration is assign (squared distance via per-dim BIGINT sums, tie
-    by cluster id) then centroid update (Python floor division
-    replayed as s - posmod before DuckDB's truncating `//`; empty
-    clusters keep their previous centroid via the LEFT JOIN). The
-    final SELECT digests the final assignment: n, inertia (distance to
-    the FINAL centroid) and centroid L1 — matching the distributed
-    run's output bit for bit (which tests pin to the single-process
-    replay)."""
+def _kmeans_cte_chain(k: int = 8, iters: int = 5) -> str:
+    """The unrolled exact-integer Lloyd CTE chain shared by the kmeans
+    digest oracle (_kmeans_sql) and the semantic-dedup oracle
+    (_semdedup_sql): quantize (pts), init (cent0), then per iteration
+    assign (dist{i}/asg{i}: squared distance via per-dim BIGINT sums,
+    ties to the lowest cluster id) and centroid update (cent{i+1}:
+    Python floor division replayed as s - posmod before DuckDB's
+    truncating `//`; empty clusters keep their previous centroid via
+    the LEFT JOIN). The final assignment CTE is ``asg{iters}``
+    (vec_id, cluster, d2), assigned against the final ``cent{iters}``
+    centroids. Exact replay is possible because the engine's Lloyd
+    loop is EXACT INTEGER (floor(x*1e6) quantization, int64 distances,
+    floor-division means) with no float-order sensitivity."""
     w = [
         f"""
 pts AS (
@@ -1566,9 +1580,18 @@ cent{i + 1} AS (
   ON s.cluster = c.cluster AND s.d = c.d
 )"""
             )
+    return ",".join(w)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Exact DuckDB replay of cluster.kmeans_embeddings (see
+    _kmeans_cte_chain). The final SELECT digests the final assignment:
+    n, inertia (distance to the FINAL centroid) and centroid L1 —
+    matching the distributed run's output bit for bit (which tests pin
+    to the single-process replay)."""
     return (
         "WITH "
-        + ",".join(w)
+        + _kmeans_cte_chain(k, iters)
         + f"""
 SELECT f.cluster, COUNT(*) AS n, CAST(SUM(f.d2) AS BIGINT) AS inertia,
        MIN(l.centroid_l1) AS centroid_l1
@@ -1580,9 +1603,48 @@ GROUP BY f.cluster ORDER BY f.cluster"""
     )
 
 
+def _semdedup_sql(threshold: float = 0.38, k: int = 8, iters: int = 5) -> str:
+    """Exact DuckDB replay of cluster.semantic_dedup: the kmeans CTE
+    chain's final assignment bounds the candidate pairs to
+    within-cluster (the SemDeDup trade, replayed identically on both
+    sides), list_cosine_similarity gates them at ``threshold`` (the
+    same float-cosine the embedding_near_dup oracle pins), and a
+    WITH RECURSIVE reachability closure labels each duplicate
+    component by its minimum member — keep=1 iff a vector IS its
+    component minimum (singletons keep themselves via the LEFT JOIN
+    COALESCE)."""
+    return f"""
+WITH RECURSIVE {_kmeans_cte_chain(k, iters)},
+asgf AS (SELECT vec_id, cluster FROM asg{iters}),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM asgf a JOIN asgf b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT va, vb FROM cand
+  JOIN embeddings ea ON ea.vec_id = va
+  JOIN embeddings eb ON eb.vec_id = vb
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= {threshold}),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n AS vec_id, LEAST(n, MIN(m)) AS c FROM reach GROUP BY n)
+SELECT f.vec_id, f.cluster,
+       COALESCE(c.c, f.vec_id) AS component_id,
+       CAST(CASE WHEN COALESCE(c.c, f.vec_id) = f.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM asgf f LEFT JOIN comp c USING (vec_id)"""
+
+
 # Iterative k-means was rows-only through round 3; the exact-integer
 # discipline makes it SQL-expressible after all (unrolled CTE chain).
 ORACLES["kmeans_embeddings"] = _kmeans_sql()
+
+# SemDeDup composes the kmeans chain (exact assignment), the float
+# cosine gate and a recursive component closure — fully SQL-checked.
+ORACLES["semantic_dedup"] = _semdedup_sql()
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from lakecdc.cluster import kmeans_embeddings, kmeans_replay
+from lakecdc.cluster import kmeans_embeddings, kmeans_replay, semantic_dedup
 
 SF = "/root/testdata/sf0.01"
 
@@ -35,3 +35,25 @@ def test_kmeans_more_iters_not_worse():
     one = int(kmeans_replay(SF, iters=1)["inertia"].sum())
     five = int(kmeans_replay(SF, iters=5)["inertia"].sum())
     assert five <= one
+
+
+def test_semantic_dedup_invariants_and_shard_invariance():
+    """SemDeDup verdicts (the DuckDB value check runs in
+    test_queries_vs_duckdb): one row per vector; component members
+    share a cluster (pairs are within-cluster by construction on BOTH
+    sides); keep=1 iff a vector is its component minimum; and the pair
+    set is invariant to shard boundaries (flush_rows=16 forces many
+    within-cluster tiles through shard_tile_pairs' orientation rule)."""
+    got = semantic_dedup(SF)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert len(got) == n_rows and got["vec_id"].is_unique
+    comp_min = got.groupby("component_id")["vec_id"].transform("min")
+    assert (got["component_id"] == comp_min).all()  # labels ARE minima
+    assert ((got["keep"] == 1) == (got["vec_id"] == got["component_id"])).all()
+    assert got.groupby("component_id")["cluster"].nunique().max() == 1
+    assert int((got["keep"] == 0).sum()) > 0  # the corpus HAS semantic dupes
+
+    tiny = semantic_dedup(SF, flush_rows=16)
+    pd.testing.assert_frame_equal(tiny, got, check_exact=True)
