@@ -223,7 +223,11 @@ def semantic_dedup(
     Cross-cluster near-dup pairs are NOT probed — by design, on both
     the engine and oracle sides (the SemDeDup trade: recall bounded by
     cluster assignment, cost bounded by sum of squared cluster sizes
-    instead of N^2)."""
+    instead of N^2). At corpus scale, size k so the expected cluster
+    holds ~10-100x flush_rows vectors (SemDeDup uses k ~ 10k-100k at
+    100M+ docs) — tile count per cluster is then small and every tile
+    stays flush_rows-bounded regardless of Zipf skew; k=8 here matches
+    the test corpus and the unrolled oracle's CTE width."""
     import ray
     import ray.data as rd
 
