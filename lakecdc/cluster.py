@@ -55,24 +55,57 @@ def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
-    """Deterministic init: the k smallest vec_ids' quantized vectors."""
+def _side_mask(
+    ids: np.ndarray, side: tuple[int, int, bool] | None
+) -> np.ndarray:
+    """Row mask for a deterministic corpus split. ``side`` is
+    (mod, rem, incoming): incoming rows are vec_id % mod == rem (the
+    epoch delta), existing rows are the complement (the ingested
+    corpus); None keeps everything."""
+    if side is None:
+        return np.ones(len(ids), dtype=bool)
+    mod, rem, incoming = side
+    m = (ids % mod) == rem
+    return m if incoming else ~m
+
+
+def _init_centroids(
+    sf_dir: str, k: int, side: tuple[int, int, bool] | None = None
+) -> np.ndarray:
+    """Deterministic init: the k smallest vec_ids' quantized vectors
+    (within ``side``'s subset when given)."""
     import pyarrow.parquet as pq
 
     init_t = pq.read_table(
         table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
-    order = np.argsort(init_t["vec_id"].to_numpy(zero_copy_only=False),
-                       kind="stable")[:k]
+    ids = init_t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(_side_mask(ids, side))
+    order = keep[np.argsort(ids[keep], kind="stable")[:k]]
     return _quantize(init_t["embedding"])[order]
 
 
-def _quantized_corpus(sf_dir: str):
+def _quantized_corpus(sf_dir: str, side: tuple[int, int, bool] | None = None):
     """Materialized (vec_id, q:fixed_size_list<int64>) Dataset — the
     iterative-reuse cache shared by the Lloyd loop and the digest /
-    assignment passes."""
+    assignment passes. ``side`` restricts to one half of the
+    deterministic existing/incoming split (see _side_mask)."""
 
     def quant(t: pa.Table) -> pa.Table:
+        d = len(t["embedding"][0]) if len(t) else 0
+        ids = t["vec_id"].to_numpy()
+        m = _side_mask(ids, side)
+        if not m.all():
+            t = t.filter(pa.array(m))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "q": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], type=pa.int64()), d
+                    ),
+                }
+            )
         X = _quantize(t["embedding"])
         return pa.table(
             {
@@ -339,6 +372,183 @@ def semantic_dedup(
                 "cluster": "int64",
                 "component_id": "int64",
                 "keep": "int64",
+            }
+        )
+    )
+
+
+def semantic_gate(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    flush_rows: int = 4096,
+    mod: int = 4,
+    rem: int = 3,
+) -> pd.DataFrame:
+    """SemDeDup-shaped semantic INGEST gate: the embedding analogue of
+    the MinHash `neardup_gate` (dupindex.gate_epoch). The corpus is
+    split deterministically into an EXISTING side (vec_id % mod !=
+    rem — the already-ingested lake) and an INCOMING side (vec_id %
+    mod == rem — the epoch delta); centroids are trained on the
+    existing side only (exact-int64 Lloyd, `_lloyd`), and each
+    incoming vector is probed ONLY against existing vectors in its
+    assigned cluster (the SemDeDup trade: probe cost O(delta x
+    cluster-shard), never O(delta x corpus)). Returns one verdict row
+    per incoming vector: (vec_id, cluster, n_matches, canon, admit) —
+    canon is the smallest matched existing vec_id (itself when none),
+    admit=1 iff no semantic near-dup already exists.
+
+    Fully SQL-replayed (registry._semgate_sql: the kmeans CTE chain
+    trained on the existing subset + the same exact assignment rule
+    for incoming + list_cosine_similarity within the assigned
+    cluster). At 100-TB scale the existing side's per-cluster shards
+    are the persisted IVF cells (ann.build_ivf_cells_streaming's
+    layout): the gate builds them once and probes per-epoch deltas
+    incrementally, exactly like dupindex's band-bucket point reads."""
+    import ray
+    import ray.data as rd
+
+    from lakecdc.ann import _make_flusher
+
+    side_ex = (mod, rem, False)
+    C = _init_centroids(sf_dir, k, side=side_ex)
+    ds_ex = _quantized_corpus(sf_dir, side=side_ex)
+    d = C.shape[1]
+    C = _lloyd(ds_ex, C, iters)
+
+    # One streaming pass over the full table: assign each batch with
+    # the EXACT int64 rule, route rows to the existing-side or
+    # incoming-side per-cluster flusher (bounded object-store shards;
+    # driver peak O(k x flush_rows) per side, never the corpus).
+    ex_bufs: dict[int, list] = {}
+    ex_cells: dict[int, list] = {}
+    in_bufs: dict[int, list] = {}
+    in_cells: dict[int, list] = {}
+    ex_flush = _make_flusher(ex_bufs, ex_cells, flush_rows)
+    in_flush = _make_flusher(in_bufs, in_cells, flush_rows)
+    for b in read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = b["vec_id"].to_numpy()
+        X = _quantize(b["embedding"])
+        a = _assign(X, C)
+        emb = b["embedding"].combine_chunks()
+        V = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), d)
+        )
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+        inc = _side_mask(ids, (mod, rem, True))
+        for bufs, flush, msel in (
+            (ex_bufs, ex_flush, ~inc),
+            (in_bufs, in_flush, inc),
+        ):
+            for c in np.unique(a[msel]):
+                m = msel & (a == c)
+                buf = bufs.setdefault(int(c), [])
+                buf.append((ids[m].astype(np.int64), Vn[m]))
+                if sum(len(x[0]) for x in buf) >= flush_rows:
+                    flush(int(c))
+    for c in list(ex_bufs):
+        ex_flush(c, final=True)
+    for c in list(in_bufs):
+        in_flush(c, final=True)
+
+    # Directional probe tiles: every (incoming shard, existing shard)
+    # pair WITHIN a cluster — each tile <= flush_rows x flush_rows.
+    tiles = [
+        {"c": int(c), "i": i, "j": j}
+        for c in sorted(in_cells)
+        if c in ex_cells
+        for i in range(len(in_cells[c]))
+        for j in range(len(ex_cells[c]))
+    ]
+    _EMPTY = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "matched_vec": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def probe_tile(batch: pa.Table) -> pa.Table:
+        outs = [_EMPTY]
+        for c, i, j in zip(
+            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
+        ):
+            idi, Vi = ray.get(in_cells[c][i])
+            idx, Vx = ray.get(ex_cells[c][j])
+            sims = Vi @ Vx.T  # bounded: <= flush_rows x flush_rows
+            ii, xx = np.nonzero(sims >= threshold)
+            outs.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(idi[ii], type=pa.int64()),
+                        "matched_vec": pa.array(idx[xx], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    if tiles:
+        hits = (
+            rd.from_items(tiles)
+            .map_batches(probe_tile, batch_format="pyarrow", batch_size=1)
+            .to_pandas()  # output-scale (gate hits only)
+        )
+    else:
+        hits = pd.DataFrame({"vec_id": [], "matched_vec": []})
+    if len(hits):
+        agg = hits.groupby("vec_id")["matched_vec"].agg(["count", "min"])
+        gate_map = {
+            int(v): (int(n), int(mn))
+            for v, n, mn in zip(agg.index, agg["count"], agg["min"])
+        }
+    else:
+        gate_map = {}
+    gref = ray.put(gate_map)
+    cref = ray.put(C)
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Cb = _ray.get(cref)
+        gm = _ray.get(gref)
+        X = _block_mat(t, d)
+        a = _assign(X, Cb)
+        ids = t["vec_id"].to_numpy()
+        n_matches = np.fromiter(
+            (gm.get(int(v), (0, 0))[0] for v in ids), dtype=np.int64, count=len(ids)
+        )
+        canon = np.fromiter(
+            (gm.get(int(v), (0, int(v)))[1] for v in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+                "n_matches": pa.array(n_matches, type=pa.int64()),
+                "canon": pa.array(canon, type=pa.int64()),
+                "admit": pa.array((n_matches == 0).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    ds_in = _quantized_corpus(sf_dir, side=(mod, rem, True))
+    out = ds_in.map_batches(verdicts, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "cluster": "int64",
+                "n_matches": "int64",
+                "canon": "int64",
+                "admit": "int64",
             }
         )
     )

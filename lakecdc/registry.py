@@ -304,6 +304,11 @@ QUERIES: dict[str, Callable] = {
     # kmeans CTE chain gives the exact assignment, list_cosine_
     # similarity the pairs, WITH RECURSIVE the components
     "semantic_dedup": cluster.semantic_dedup,
+    # SemDeDup-shaped semantic INGEST gate: centroids trained on the
+    # existing corpus side only, incoming vectors probed against their
+    # assigned cluster's existing shards — the embedding analogue of
+    # the MinHash neardup_gate, fully SQL-replayed (_semgate_sql)
+    "semantic_gate": cluster.semantic_gate,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -407,6 +412,11 @@ _DRIVER_ORDER_HEAD = [
     # fully SQL-value-checked; funded by demoting ngram_jaccard (see
     # the note in _DRIVER_EXCLUDED).
     "semantic_dedup",
+    # round-5 addition: the semantic INGEST gate (semantic_dedup's
+    # directional delta-vs-corpus form — the embedding analogue of the
+    # kept neardup_gate), fully SQL-value-checked; funded by demoting
+    # simhash_verified (see the note in _DRIVER_EXCLUDED).
+    "semantic_gate",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -437,6 +447,11 @@ _DRIVER_EXCLUDED = {
     # (new in r04, SQL-value-checked every pytest run since) promoted
     # into the head for their first driver rows; the two rows below
     # fund the slots.
+    "simhash_verified",  # driver-green r04; its bit-identical md5
+    #  register replay stays SQL-checked every pytest run, and the
+    #  fingerprint family keeps winnowing_fingerprints +
+    #  minhash_lsh_verified in the view — demoted to fund the r05
+    #  semantic_gate slot
     "ngram_jaccard",  # driver-green r04; its exact n-gram-Jaccard
     #  pair oracle is the same tok/sizes/inter SQL shape the kept
     #  minhash_lsh_verified value-checks every round — demoted to
@@ -1523,10 +1538,12 @@ ORACLES: dict[str, str] = {
 }
 
 
-def _kmeans_cte_chain(k: int = 8, iters: int = 5) -> str:
+def _kmeans_cte_chain(k: int = 8, iters: int = 5, src: str = "embeddings") -> str:
     """The unrolled exact-integer Lloyd CTE chain shared by the kmeans
-    digest oracle (_kmeans_sql) and the semantic-dedup oracle
-    (_semdedup_sql): quantize (pts), init (cent0), then per iteration
+    digest oracle (_kmeans_sql), the semantic-dedup oracle
+    (_semdedup_sql) and the semantic-gate oracle (_semgate_sql, which
+    trains on the EXISTING-side subset via ``src``): quantize (pts),
+    init (cent0), then per iteration
     assign (dist{i}/asg{i}: squared distance via per-dim BIGINT sums,
     ties to the lowest cluster id) and centroid update (cent{i+1}:
     Python floor division replayed as s - posmod before DuckDB's
@@ -1541,13 +1558,13 @@ def _kmeans_cte_chain(k: int = 8, iters: int = 5) -> str:
 pts AS (
   SELECT e.vec_id, gs.d,
          CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM embeddings e,
+  FROM {src} e,
        LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs
 ),
 cent0 AS (
   SELECT r.cluster, p.d, p.x AS c
   FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
-        FROM embeddings ORDER BY vec_id LIMIT {k}) r
+        FROM {src} ORDER BY vec_id LIMIT {k}) r
   JOIN pts p USING (vec_id)
 )"""
     ]
@@ -1638,6 +1655,60 @@ SELECT f.vec_id, f.cluster,
 FROM asgf f LEFT JOIN comp c USING (vec_id)"""
 
 
+def _semgate_sql(
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    rem: int = 3,
+) -> str:
+    """Exact DuckDB replay of cluster.semantic_gate: the kmeans CTE
+    chain is trained on the EXISTING side only (vec_id % mod <> rem —
+    the already-ingested corpus), each INCOMING vector (vec_id % mod =
+    rem — the epoch delta) is assigned to its nearest final centroid
+    by the same exact-integer rule, and candidate matches are existing
+    vectors in THAT cluster only (the SemDeDup trade, replayed
+    identically on both sides), gated by list_cosine_similarity at
+    ``threshold``. One verdict row per incoming vector: n_matches,
+    canon (the smallest matched existing vec_id, or itself), and
+    admit=1 iff no semantic near-dup already exists in the corpus."""
+    return f"""
+WITH exv AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % {mod} <> {rem}),
+inv AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {mod} = {rem}),
+{_kmeans_cte_chain(k, iters, src="exv")},
+inpts AS (
+  SELECT e.vec_id, gs.d,
+         CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM inv e,
+       LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs),
+indist AS (
+  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM inpts p JOIN cent{iters} c USING (d)
+  GROUP BY p.vec_id, c.cluster),
+inasg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM indist) t WHERE rn = 1),
+pairs AS (
+  SELECT i.vec_id, x.vec_id AS matched_vec
+  FROM inasg i JOIN asg{iters} x ON i.cluster = x.cluster
+  JOIN inv ei ON ei.vec_id = i.vec_id
+  JOIN exv ex ON ex.vec_id = x.vec_id
+  WHERE list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
+                               CAST(ex.embedding AS DOUBLE[])) >= {threshold}),
+agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(matched_vec) AS canon
+        FROM pairs GROUP BY vec_id)
+SELECT i.vec_id, i.cluster,
+       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       COALESCE(a.canon, i.vec_id) AS canon,
+       CAST(CASE WHEN a.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
+FROM inasg i LEFT JOIN agg a USING (vec_id)"""
+
+
 # Iterative k-means was rows-only through round 3; the exact-integer
 # discipline makes it SQL-expressible after all (unrolled CTE chain).
 ORACLES["kmeans_embeddings"] = _kmeans_sql()
@@ -1645,6 +1716,10 @@ ORACLES["kmeans_embeddings"] = _kmeans_sql()
 # SemDeDup composes the kmeans chain (exact assignment), the float
 # cosine gate and a recursive component closure — fully SQL-checked.
 ORACLES["semantic_dedup"] = _semdedup_sql()
+
+# The semantic gate trains the same chain on the existing-side subset
+# and replays the directional cluster-bounded probe — fully SQL-checked.
+ORACLES["semantic_gate"] = _semgate_sql()
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.

@@ -7,7 +7,12 @@ from __future__ import annotations
 
 import pandas as pd
 
-from lakecdc.cluster import kmeans_embeddings, kmeans_replay, semantic_dedup
+from lakecdc.cluster import (
+    kmeans_embeddings,
+    kmeans_replay,
+    semantic_dedup,
+    semantic_gate,
+)
 
 SF = "/root/testdata/sf0.01"
 
@@ -56,4 +61,31 @@ def test_semantic_dedup_invariants_and_shard_invariance():
     assert int((got["keep"] == 0).sum()) > 0  # the corpus HAS semantic dupes
 
     tiny = semantic_dedup(SF, flush_rows=16)
+    pd.testing.assert_frame_equal(tiny, got, check_exact=True)
+
+
+def test_semantic_gate_invariants_and_shard_invariance():
+    """Semantic ingest gate (the DuckDB value check runs in
+    test_queries_vs_duckdb): one verdict row per INCOMING vector
+    (vec_id % 4 == 3); admit=1 iff no match, in which case canon is
+    the vector itself; a matched vector's canon is an EXISTING-side id
+    strictly on the other half of the split; and verdicts are
+    invariant to shard boundaries (flush_rows=16 forces many probe
+    tiles per cluster)."""
+    got = semantic_gate(SF)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    ids = t["vec_id"].to_numpy()
+    n_in = int(((ids % 4) == 3).sum())
+    assert len(got) == n_in and got["vec_id"].is_unique
+    assert ((got["vec_id"] % 4) == 3).all()  # incoming side only
+    assert ((got["admit"] == 1) == (got["n_matches"] == 0)).all()
+    admitted = got[got["admit"] == 1]
+    assert (admitted["canon"] == admitted["vec_id"]).all()
+    rejected = got[got["admit"] == 0]
+    assert len(rejected) > 0  # the corpus HAS cross-side semantic dupes
+    assert ((rejected["canon"] % 4) != 3).all()  # canon is existing-side
+
+    tiny = semantic_gate(SF, flush_rows=16)
     pd.testing.assert_frame_equal(tiny, got, check_exact=True)
