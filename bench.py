@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     # repetition profile (both oracle-value-checked operators)
     "ann_sq8",
     "repetition_profile",
+    # round-5 addition: the SemDeDup-shaped semantic ingest gate
+    # (kmeans trained on the existing corpus side, incoming delta
+    # probed within its assigned cluster — oracle-value-checked)
+    "semantic_gate",
 ]
 
 
