@@ -85,14 +85,21 @@ def _init_centroids(
     return _quantize(init_t["embedding"])[order]
 
 
-def _quantized_corpus(sf_dir: str, side: tuple[int, int, bool] | None = None):
+def _quantized_corpus(
+    sf_dir: str,
+    side: tuple[int, int, bool] | None = None,
+    d: int | None = None,
+):
     """Materialized (vec_id, q:fixed_size_list<int64>) Dataset — the
     iterative-reuse cache shared by the Lloyd loop and the digest /
     assignment passes. ``side`` restricts to one half of the
-    deterministic existing/incoming split (see _side_mask)."""
+    deterministic existing/incoming split (see _side_mask). ``d`` is
+    the embedding width, needed to type EMPTY blocks consistently
+    (an empty or fully-filtered block must still emit
+    fixed_size_list[d], or materialize() fails on schema mismatch)."""
 
     def quant(t: pa.Table) -> pa.Table:
-        d = len(t["embedding"][0]) if len(t) else 0
+        dd = d if d is not None else (len(t["embedding"][0]) if len(t) else 0)
         ids = t["vec_id"].to_numpy()
         m = _side_mask(ids, side)
         if not m.all():
@@ -102,7 +109,7 @@ def _quantized_corpus(sf_dir: str, side: tuple[int, int, bool] | None = None):
                 {
                     "vec_id": pa.array([], type=pa.int64()),
                     "q": pa.FixedSizeListArray.from_arrays(
-                        pa.array([], type=pa.int64()), d
+                        pa.array([], type=pa.int64()), dd
                     ),
                 }
             )
@@ -175,6 +182,74 @@ def _lloyd(ds, C: np.ndarray, iters: int) -> np.ndarray:
     return C
 
 
+def _route_cluster_shards(
+    sf_dir: str,
+    C: np.ndarray,
+    flush_rows: int,
+    sides: dict[str, tuple[int, int, bool] | None],
+    collect: tuple[str, ...] = (),
+) -> tuple[dict, dict]:
+    """Shared shard-routing pass of semantic_dedup / semantic_gate:
+    stream the float embeddings ONCE, assign each batch with the EXACT
+    int64 rule (same as the digest/oracle), unit-normalize, and route
+    each row to its side's per-cluster flusher (ann._make_flusher —
+    bounded object-store shards; driver peak O(k x flush_rows) per
+    side, never the corpus). ``sides`` maps a side name to its
+    _side_mask spec (None = all rows). ``collect`` names sides whose
+    (vec_id, cluster) assignments are ALSO accumulated on the driver —
+    delta-scale only (used to build verdict frames without a second
+    corpus scan).
+
+    Returns (cells_by_side, assign_by_side): cells_by_side[name] is
+    {cluster: [shard refs]}; assign_by_side[name] is (ids, clusters)
+    int64 arrays for each collected side."""
+    from lakecdc.ann import _make_flusher
+
+    d = C.shape[1]
+    bufs: dict[str, dict] = {name: {} for name in sides}
+    cells: dict[str, dict] = {name: {} for name in sides}
+    flushers = {
+        name: _make_flusher(bufs[name], cells[name], flush_rows)
+        for name in sides
+    }
+    collected: dict[str, tuple[list, list]] = {n: ([], []) for n in collect}
+    for b in read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = b["vec_id"].to_numpy()
+        X = _quantize(b["embedding"])
+        a = _assign(X, C)
+        emb = b["embedding"].combine_chunks()
+        V = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), d)
+        )
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+        for name, side in sides.items():
+            msel = _side_mask(ids, side)
+            if name in collected:
+                collected[name][0].append(ids[msel].astype(np.int64))
+                collected[name][1].append(a[msel].astype(np.int64))
+            for c in np.unique(a[msel]):
+                m = msel & (a == c)
+                buf = bufs[name].setdefault(int(c), [])
+                buf.append((ids[m].astype(np.int64), Vn[m]))
+                if sum(len(x[0]) for x in buf) >= flush_rows:
+                    flushers[name](int(c))
+    for name in sides:
+        for c in list(bufs[name]):
+            flushers[name](c, final=True)
+    assign = {
+        name: (
+            np.concatenate(i) if i else np.empty(0, np.int64),
+            np.concatenate(cc) if cc else np.empty(0, np.int64),
+        )
+        for name, (i, cc) in collected.items()
+    }
+    return cells, assign
+
+
 def kmeans_embeddings(
     sf_dir: str, k: int = 8, iters: int = 5
 ) -> pd.DataFrame:
@@ -185,8 +260,8 @@ def kmeans_embeddings(
     import ray
 
     C = _init_centroids(sf_dir, k)
-    ds = _quantized_corpus(sf_dir)
     d = C.shape[1]
+    ds = _quantized_corpus(sf_dir, d=d)
     C = _lloyd(ds, C, iters)
 
     def block_mat(t: pa.Table) -> np.ndarray:
@@ -264,41 +339,18 @@ def semantic_dedup(
     import ray
     import ray.data as rd
 
-    from lakecdc.ann import _make_flusher
     from lakecdc.dedup import connected_components, shard_tile_pairs
 
     C = _init_centroids(sf_dir, k)
-    ds = _quantized_corpus(sf_dir)
     d = C.shape[1]
+    ds = _quantized_corpus(sf_dir, d=d)
     C = _lloyd(ds, C, iters)
 
     # Pass 2: stream the float embeddings once, assign each batch with
     # the EXACT int64 rule (same as the digest/oracle), flush each
     # cluster's unit-normalized rows as bounded object-store shards.
-    bufs: dict[int, list] = {}
-    cells: dict[int, list] = {}
-    flush = _make_flusher(bufs, cells, flush_rows)
-    for b in read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids = b["vec_id"].to_numpy()
-        X = _quantize(b["embedding"])
-        a = _assign(X, C)
-        emb = b["embedding"].combine_chunks()
-        V = (
-            emb.values.to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(len(ids), d)
-        )
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
-        for c in np.unique(a):
-            m = a == c
-            buf = bufs.setdefault(int(c), [])
-            buf.append((ids[m].astype(np.int64), Vn[m]))
-            if sum(len(x[0]) for x in buf) >= flush_rows:
-                flush(int(c))
-    for c in list(bufs):
-        flush(c, final=True)
+    shard_sides, _ = _route_cluster_shards(sf_dir, C, flush_rows, {"all": None})
+    cells = shard_sides["all"]
 
     tiles = [
         {"c": int(c), "i": i, "j": j}
@@ -409,55 +461,31 @@ def semantic_gate(
     import ray
     import ray.data as rd
 
-    from lakecdc.ann import _make_flusher
-
     side_ex = (mod, rem, False)
     C = _init_centroids(sf_dir, k, side=side_ex)
-    ds_ex = _quantized_corpus(sf_dir, side=side_ex)
     d = C.shape[1]
+    ds_ex = _quantized_corpus(sf_dir, side=side_ex, d=d)
     C = _lloyd(ds_ex, C, iters)
 
-    # One streaming pass over the full table: assign each batch with
-    # the EXACT int64 rule, route rows to the existing-side or
-    # incoming-side per-cluster flusher (bounded object-store shards;
-    # driver peak O(k x flush_rows) per side, never the corpus).
-    ex_bufs: dict[int, list] = {}
-    ex_cells: dict[int, list] = {}
-    in_bufs: dict[int, list] = {}
-    in_cells: dict[int, list] = {}
-    ex_flush = _make_flusher(ex_bufs, ex_cells, flush_rows)
-    in_flush = _make_flusher(in_bufs, in_cells, flush_rows)
-    for b in read(sf_dir, "embeddings", ["vec_id", "embedding"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids = b["vec_id"].to_numpy()
-        X = _quantize(b["embedding"])
-        a = _assign(X, C)
-        emb = b["embedding"].combine_chunks()
-        V = (
-            emb.values.to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(len(ids), d)
-        )
-        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
-        inc = _side_mask(ids, (mod, rem, True))
-        for bufs, flush, msel in (
-            (ex_bufs, ex_flush, ~inc),
-            (in_bufs, in_flush, inc),
-        ):
-            for c in np.unique(a[msel]):
-                m = msel & (a == c)
-                buf = bufs.setdefault(int(c), [])
-                buf.append((ids[m].astype(np.int64), Vn[m]))
-                if sum(len(x[0]) for x in buf) >= flush_rows:
-                    flush(int(c))
-    for c in list(ex_bufs):
-        ex_flush(c, final=True)
-    for c in list(in_bufs):
-        in_flush(c, final=True)
+    # One streaming pass over the full table routes rows to the
+    # existing-side or incoming-side per-cluster flusher; the incoming
+    # side's (vec_id, cluster) assignments are also kept on the driver
+    # (delta-scale) so the verdict frame needs NO second corpus scan.
+    cells, assigns = _route_cluster_shards(
+        sf_dir,
+        C,
+        flush_rows,
+        {"ex": side_ex, "in": (mod, rem, True)},
+        collect=("in",),
+    )
+    ex_cells, in_cells = cells["ex"], cells["in"]
+    in_ids, in_clusters = assigns["in"]
 
     # Directional probe tiles: every (incoming shard, existing shard)
     # pair WITHIN a cluster — each tile <= flush_rows x flush_rows.
+    # Each tile emits PER-VECTOR aggregates (match count + min existing
+    # id), so the driver collect stays delta-scale even when a
+    # dup-dense cluster matches one incoming vector thousands of times.
     tiles = [
         {"c": int(c), "i": i, "j": j}
         for c in sorted(in_cells)
@@ -468,7 +496,8 @@ def semantic_gate(
     _EMPTY = pa.table(
         {
             "vec_id": pa.array([], type=pa.int64()),
-            "matched_vec": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "mn": pa.array([], type=pa.int64()),
         }
     )
 
@@ -479,13 +508,20 @@ def semantic_gate(
         ):
             idi, Vi = ray.get(in_cells[c][i])
             idx, Vx = ray.get(ex_cells[c][j])
-            sims = Vi @ Vx.T  # bounded: <= flush_rows x flush_rows
-            ii, xx = np.nonzero(sims >= threshold)
+            hit = Vi @ Vx.T >= threshold  # bounded: <= flush_rows^2
+            n = hit.sum(axis=1).astype(np.int64)
+            any_hit = n > 0
+            if not any_hit.any():
+                continue
+            # min matched existing id per incoming row, over this tile
+            big = np.iinfo(np.int64).max
+            mn = np.where(hit, idx[None, :], big).min(axis=1)
             outs.append(
                 pa.table(
                     {
-                        "vec_id": pa.array(idi[ii], type=pa.int64()),
-                        "matched_vec": pa.array(idx[xx], type=pa.int64()),
+                        "vec_id": pa.array(idi[any_hit], type=pa.int64()),
+                        "n": pa.array(n[any_hit], type=pa.int64()),
+                        "mn": pa.array(mn[any_hit], type=pa.int64()),
                     }
                 )
             )
@@ -495,51 +531,41 @@ def semantic_gate(
         hits = (
             rd.from_items(tiles)
             .map_batches(probe_tile, batch_format="pyarrow", batch_size=1)
-            .to_pandas()  # output-scale (gate hits only)
+            .to_pandas()  # delta-scale: <= one row per (incoming, tile)
         )
     else:
-        hits = pd.DataFrame({"vec_id": [], "matched_vec": []})
+        hits = pd.DataFrame({"vec_id": [], "n": [], "mn": []})
     if len(hits):
-        agg = hits.groupby("vec_id")["matched_vec"].agg(["count", "min"])
+        agg = hits.groupby("vec_id").agg(n=("n", "sum"), mn=("mn", "min"))
         gate_map = {
             int(v): (int(n), int(mn))
-            for v, n, mn in zip(agg.index, agg["count"], agg["min"])
+            for v, n, mn in zip(agg.index, agg["n"], agg["mn"])
         }
     else:
         gate_map = {}
-    gref = ray.put(gate_map)
-    cref = ray.put(C)
 
-    def verdicts(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        Cb = _ray.get(cref)
-        gm = _ray.get(gref)
-        X = _block_mat(t, d)
-        a = _assign(X, Cb)
-        ids = t["vec_id"].to_numpy()
-        n_matches = np.fromiter(
-            (gm.get(int(v), (0, 0))[0] for v in ids), dtype=np.int64, count=len(ids)
-        )
-        canon = np.fromiter(
-            (gm.get(int(v), (0, int(v)))[1] for v in ids),
-            dtype=np.int64,
-            count=len(ids),
-        )
-        return pa.table(
+    # Verdict frame straight from the routing pass's collected
+    # incoming assignments — no re-read, no re-quantize, no re-assign.
+    n_matches = np.fromiter(
+        (gate_map.get(int(v), (0, 0))[0] for v in in_ids),
+        dtype=np.int64,
+        count=len(in_ids),
+    )
+    canon = np.fromiter(
+        (gate_map.get(int(v), (0, int(v)))[1] for v in in_ids),
+        dtype=np.int64,
+        count=len(in_ids),
+    )
+    return (
+        pd.DataFrame(
             {
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
-                "n_matches": pa.array(n_matches, type=pa.int64()),
-                "canon": pa.array(canon, type=pa.int64()),
-                "admit": pa.array((n_matches == 0).astype(np.int64), type=pa.int64()),
+                "vec_id": in_ids,
+                "cluster": in_clusters,
+                "n_matches": n_matches,
+                "canon": canon,
+                "admit": (n_matches == 0).astype(np.int64),
             }
         )
-
-    ds_in = _quantized_corpus(sf_dir, side=(mod, rem, True))
-    out = ds_in.map_batches(verdicts, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        out.to_pandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
         .astype(

@@ -1538,6 +1538,43 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _quant_cte(name: str, src: str) -> str:
+    """The exact-integer quantization CTE (floor(x*1e6) per dimension)
+    shared by every point set in the kmeans/semantic oracles — ONE
+    definition, so the quantization constant can never diverge between
+    the training and probe sides."""
+    return f"""
+{name} AS (
+  SELECT e.vec_id, gs.d,
+         CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
+  FROM {src} e,
+       LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs
+)"""
+
+
+def _assign_cte(
+    dist: str, asg: str, pts: str, cent: str, keep_d2: bool = True
+) -> str:
+    """The exact-integer nearest-centroid assignment pair (squared
+    distance via per-dim BIGINT sums; ties to the lowest cluster id) —
+    ONE definition shared by every Lloyd iteration and by the
+    semantic-gate's incoming-side assignment, so the tie rule can
+    never diverge between them."""
+    cols = "vec_id, cluster, d2" if keep_d2 else "vec_id, cluster"
+    return f"""
+{dist} AS (
+  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
+  FROM {pts} p JOIN {cent} c USING (d)
+  GROUP BY p.vec_id, c.cluster
+),
+{asg} AS (
+  SELECT {cols} FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM {dist}) t WHERE rn = 1
+)"""
+
+
 def _kmeans_cte_chain(k: int = 8, iters: int = 5, src: str = "embeddings") -> str:
     """The unrolled exact-integer Lloyd CTE chain shared by the kmeans
     digest oracle (_kmeans_sql), the semantic-dedup oracle
@@ -1554,13 +1591,8 @@ def _kmeans_cte_chain(k: int = 8, iters: int = 5, src: str = "embeddings") -> st
     loop is EXACT INTEGER (floor(x*1e6) quantization, int64 distances,
     floor-division means) with no float-order sensitivity."""
     w = [
-        f"""
-pts AS (
-  SELECT e.vec_id, gs.d,
-         CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM {src} e,
-       LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs
-),
+        _quant_cte("pts", src)
+        + f""",
 cent0 AS (
   SELECT r.cluster, p.d, p.x AS c
   FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
@@ -1569,20 +1601,7 @@ cent0 AS (
 )"""
     ]
     for i in range(iters + 1):
-        w.append(
-            f"""
-dist{i} AS (
-  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
-  FROM pts p JOIN cent{i} c USING (d)
-  GROUP BY p.vec_id, c.cluster
-),
-asg{i} AS (
-  SELECT vec_id, cluster, d2 FROM (
-    SELECT vec_id, cluster, d2,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-    FROM dist{i}) t WHERE rn = 1
-)"""
-        )
+        w.append(_assign_cte(f"dist{i}", f"asg{i}", "pts", f"cent{i}"))
         if i < iters:
             w.append(
                 f"""
@@ -1678,20 +1697,8 @@ WITH exv AS (SELECT vec_id, embedding FROM embeddings
 inv AS (SELECT vec_id, embedding FROM embeddings
         WHERE vec_id % {mod} = {rem}),
 {_kmeans_cte_chain(k, iters, src="exv")},
-inpts AS (
-  SELECT e.vec_id, gs.d,
-         CAST(floor(CAST(e.embedding[gs.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x
-  FROM inv e,
-       LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS d) gs),
-indist AS (
-  SELECT p.vec_id, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
-  FROM inpts p JOIN cent{iters} c USING (d)
-  GROUP BY p.vec_id, c.cluster),
-inasg AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-    FROM indist) t WHERE rn = 1),
+{_quant_cte("inpts", "inv")},
+{_assign_cte("indist", "inasg", "inpts", f"cent{iters}", keep_d2=False)},
 pairs AS (
   SELECT i.vec_id, x.vec_id AS matched_vec
   FROM inasg i JOIN asg{iters} x ON i.cluster = x.cluster
