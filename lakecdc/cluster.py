@@ -580,6 +580,85 @@ def semantic_gate(
     )
 
 
+def semantic_gate_replay(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    rem: int = 3,
+) -> pd.DataFrame:
+    """Single-process replay of semantic_gate (pytest ground truth
+    across PARAMETERIZATIONS the default-arg DuckDB oracle doesn't
+    cover): same split, same existing-side integer Lloyd, same exact
+    assignment of incoming vectors, brute-force within-cluster cosine
+    probe — must match the distributed run EXACTLY."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    X = _quantize(t["embedding"])
+    inc = _side_mask(ids, (mod, rem, True))
+
+    # Existing-side Lloyd: init = k smallest existing vec_ids.
+    ex_ids, ex_X = ids[~inc], X[~inc]
+    order = np.argsort(ex_ids, kind="stable")[:k]
+    C = ex_X[order].copy()
+    for _ in range(iters):
+        a = _assign(ex_X, C)
+        newC = C.copy()
+        for c in np.unique(a):
+            sel = ex_X[a == c]
+            newC[int(c)] = sel.sum(axis=0, dtype=np.int64) // len(sel)
+        C = newC
+    ex_a = _assign(ex_X, C)
+
+    emb = t["embedding"].combine_chunks()
+    V = (
+        emb.values.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), -1)
+    )
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+    in_ids, in_X, in_V = ids[inc], X[inc], Vn[inc]
+    ex_V = Vn[~inc]
+    in_a = _assign(in_X, C)
+
+    rows = []
+    for c in np.unique(in_a):
+        mi, mx = in_a == c, ex_a == c
+        sub_ids, sub_ex_ids = in_ids[mi], ex_ids[mx]
+        if mx.any():
+            hit = in_V[mi] @ ex_V[mx].T >= threshold
+            n = hit.sum(axis=1).astype(np.int64)
+            big = np.iinfo(np.int64).max
+            mn = np.where(hit, sub_ex_ids[None, :], big).min(axis=1)
+        else:
+            n = np.zeros(mi.sum(), dtype=np.int64)
+            mn = np.full(mi.sum(), 0, dtype=np.int64)
+        for v, nn, mm in zip(sub_ids, n, mn):
+            canon = int(mm) if nn else int(v)
+            rows.append((int(v), int(c), int(nn), canon, int(nn == 0)))
+    return (
+        pd.DataFrame(
+            rows, columns=["vec_id", "cluster", "n_matches", "canon", "admit"]
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "cluster": "int64",
+                "n_matches": "int64",
+                "canon": "int64",
+                "admit": "int64",
+            }
+        )
+    )
+
+
 def kmeans_replay(sf_dir: str, k: int = 8, iters: int = 5) -> pd.DataFrame:
     """Single-process replay of kmeans_embeddings (pytest ground
     truth): same quantization, same integer Lloyd steps, same tie

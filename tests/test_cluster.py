@@ -12,6 +12,7 @@ from lakecdc.cluster import (
     kmeans_replay,
     semantic_dedup,
     semantic_gate,
+    semantic_gate_replay,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -89,3 +90,19 @@ def test_semantic_gate_invariants_and_shard_invariance():
 
     tiny = semantic_gate(SF, flush_rows=16)
     pd.testing.assert_frame_equal(tiny, got, check_exact=True)
+
+
+def test_semantic_gate_matches_replay_across_params():
+    """Parameterization coverage the default-arg DuckDB oracle doesn't
+    give: the distributed gate must EXACTLY match the single-process
+    replay for other splits, cluster counts, iteration counts and
+    thresholds (same quantization, tie rule, split rule, probe)."""
+    for kw in (
+        {},  # the oracle-checked default, via the replay path too
+        {"mod": 2, "rem": 0, "k": 4, "iters": 2},
+        {"mod": 5, "rem": 1, "threshold": 0.5},
+        {"k": 3, "iters": 1, "threshold": 0.25},
+    ):
+        got = semantic_gate(SF, **kw)
+        want = semantic_gate_replay(SF, **kw)
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
