@@ -317,11 +317,12 @@ def semantic_dedup(
 
     1. clusters: the exact-int64 Lloyd loop (`_lloyd` — bit-identical
        to the kmeans_embeddings digest and its unrolled-CTE oracle);
-    2. pairs: per-cluster unit-vector shards built by the streaming
-       flusher (ann._make_flusher — driver peak O(k x flush_rows),
-       never the corpus), then one task per within-cluster shard-pair
-       tile (dedup.shard_tile_pairs — every tile hard-bounded at
-       flush_rows x flush_rows regardless of cluster skew);
+    2. pairs: per-cluster unit-vector shards built by the shared
+       routing pass (_route_cluster_shards — driver peak
+       O(k x flush_rows), never the corpus), then one task per
+       within-cluster shard-pair tile (dedup.shard_tile_pairs — every
+       tile hard-bounded at flush_rows x flush_rows regardless of
+       cluster skew);
     3. components: distributed hash-to-min label propagation over the
        pair edges (dedup.connected_components — O(output) state, one
        bounded shuffle per round, no driver-side graph);
