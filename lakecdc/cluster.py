@@ -88,18 +88,19 @@ def _init_centroids(
 def _quantized_corpus(
     sf_dir: str,
     side: tuple[int, int, bool] | None = None,
-    d: int | None = None,
+    *,
+    d: int,
 ):
     """Materialized (vec_id, q:fixed_size_list<int64>) Dataset — the
     iterative-reuse cache shared by the Lloyd loop and the digest /
     assignment passes. ``side`` restricts to one half of the
     deterministic existing/incoming split (see _side_mask). ``d`` is
-    the embedding width, needed to type EMPTY blocks consistently
-    (an empty or fully-filtered block must still emit
-    fixed_size_list[d], or materialize() fails on schema mismatch)."""
+    the embedding width (callers know it from the centroid init),
+    REQUIRED so an empty or fully-filtered block still emits
+    fixed_size_list[d] — inferring it per block would type an empty
+    block as [0] and fail materialize() on schema mismatch."""
 
     def quant(t: pa.Table) -> pa.Table:
-        dd = d if d is not None else (len(t["embedding"][0]) if len(t) else 0)
         ids = t["vec_id"].to_numpy()
         m = _side_mask(ids, side)
         if not m.all():
@@ -109,7 +110,7 @@ def _quantized_corpus(
                 {
                     "vec_id": pa.array([], type=pa.int64()),
                     "q": pa.FixedSizeListArray.from_arrays(
-                        pa.array([], type=pa.int64()), dd
+                        pa.array([], type=pa.int64()), d
                     ),
                 }
             )
@@ -340,7 +341,11 @@ def semantic_dedup(
     import ray
     import ray.data as rd
 
-    from lakecdc.dedup import connected_components, shard_tile_pairs
+    from lakecdc.dedup import (
+        connected_components,
+        run_shard_tiles,
+        shard_tile_pairs,
+    )
 
     C = _init_centroids(sf_dir, k)
     d = C.shape[1]
@@ -353,41 +358,25 @@ def semantic_dedup(
     shard_sides, _ = _route_cluster_shards(sf_dir, C, flush_rows, {"all": None})
     cells = shard_sides["all"]
 
-    tiles = [
-        {"c": int(c), "i": i, "j": j}
-        for c in sorted(cells)
-        for i in range(len(cells[c]))
-        for j in range(i, len(cells[c]))
-    ]
     _EMPTY = pa.table(
         {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
     )
 
-    def cell_tile(batch: pa.Table) -> pa.Table:
-        outs = [_EMPTY]
-        for c, i, j in zip(
-            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
-        ):
-            ida, Va = ray.get(cells[c][i])
-            idb, Vb = ray.get(cells[c][j])
-            lo, hi, _ = shard_tile_pairs(
-                ida, Va, idb, Vb, diagonal=(i == j), threshold=threshold
-            )
-            outs.append(
-                pa.table(
-                    {
-                        "a": pa.array(lo, type=pa.int64()),
-                        "b": pa.array(hi, type=pa.int64()),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
+    def pair_tile(ida, Va, idb, Vb, diagonal):
+        lo, hi, _ = shard_tile_pairs(
+            ida, Va, idb, Vb, diagonal=diagonal, threshold=threshold
+        )
+        return pa.table(
+            {
+                "a": pa.array(lo, type=pa.int64()),
+                "b": pa.array(hi, type=pa.int64()),
+            }
+        )
 
-    edges = rd.from_items(tiles).map_batches(
-        cell_tile, batch_format="pyarrow", batch_size=1
-    ).materialize()  # output-scale (near-dup pairs only)
-    if edges.count():
-        comp_df = connected_components(edges)
+    # output-scale (near-dup pairs only)
+    edge_df = run_shard_tiles(cells, cells, _EMPTY, pair_tile)
+    if len(edge_df):
+        comp_df = connected_components(rd.from_pandas(edge_df))
         comp_map = dict(zip(comp_df["node"], comp_df["comp"]))
     else:
         comp_map = {}
@@ -459,8 +448,7 @@ def semantic_gate(
     are the persisted IVF cells (ann.build_ivf_cells_streaming's
     layout): the gate builds them once and probes per-epoch deltas
     incrementally, exactly like dupindex's band-bucket point reads."""
-    import ray
-    import ray.data as rd
+    from lakecdc.dedup import run_shard_tiles
 
     side_ex = (mod, rem, False)
     C = _init_centroids(sf_dir, k, side=side_ex)
@@ -487,13 +475,6 @@ def semantic_gate(
     # Each tile emits PER-VECTOR aggregates (match count + min existing
     # id), so the driver collect stays delta-scale even when a
     # dup-dense cluster matches one incoming vector thousands of times.
-    tiles = [
-        {"c": int(c), "i": i, "j": j}
-        for c in sorted(in_cells)
-        if c in ex_cells
-        for i in range(len(in_cells[c]))
-        for j in range(len(ex_cells[c]))
-    ]
     _EMPTY = pa.table(
         {
             "vec_id": pa.array([], type=pa.int64()),
@@ -502,40 +483,25 @@ def semantic_gate(
         }
     )
 
-    def probe_tile(batch: pa.Table) -> pa.Table:
-        outs = [_EMPTY]
-        for c, i, j in zip(
-            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
-        ):
-            idi, Vi = ray.get(in_cells[c][i])
-            idx, Vx = ray.get(ex_cells[c][j])
-            hit = Vi @ Vx.T >= threshold  # bounded: <= flush_rows^2
-            n = hit.sum(axis=1).astype(np.int64)
-            any_hit = n > 0
-            if not any_hit.any():
-                continue
-            # min matched existing id per incoming row, over this tile
-            big = np.iinfo(np.int64).max
-            mn = np.where(hit, idx[None, :], big).min(axis=1)
-            outs.append(
-                pa.table(
-                    {
-                        "vec_id": pa.array(idi[any_hit], type=pa.int64()),
-                        "n": pa.array(n[any_hit], type=pa.int64()),
-                        "mn": pa.array(mn[any_hit], type=pa.int64()),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
-
-    if tiles:
-        hits = (
-            rd.from_items(tiles)
-            .map_batches(probe_tile, batch_format="pyarrow", batch_size=1)
-            .to_pandas()  # delta-scale: <= one row per (incoming, tile)
+    def probe_tile(idi, Vi, idx, Vx, _diagonal):
+        hit = Vi @ Vx.T >= threshold  # bounded: <= flush_rows^2
+        n = hit.sum(axis=1).astype(np.int64)
+        any_hit = n > 0
+        if not any_hit.any():
+            return None
+        # min matched existing id per incoming row, over this tile
+        big = np.iinfo(np.int64).max
+        mn = np.where(hit, idx[None, :], big).min(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(idi[any_hit], type=pa.int64()),
+                "n": pa.array(n[any_hit], type=pa.int64()),
+                "mn": pa.array(mn[any_hit], type=pa.int64()),
+            }
         )
-    else:
-        hits = pd.DataFrame({"vec_id": [], "n": [], "mn": []})
+
+    # delta-scale: <= one row per (incoming vector, tile)
+    hits = run_shard_tiles(in_cells, ex_cells, _EMPTY, probe_tile)
     if len(hits):
         agg = hits.groupby("vec_id").agg(n=("n", "sum"), mn=("mn", "min"))
         gate_map = {

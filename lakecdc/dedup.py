@@ -894,6 +894,63 @@ def shard_tile_pairs(
     return np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), sims[a_idx, b_idx]
 
 
+def run_shard_tiles(left_cells: dict, right_cells: dict, empty: pa.Table, tile_fn):
+    """The ONE bounded shard-pair tile executor behind every
+    cell-bucketed all-pairs/probe scan (embedding_near_dup_ivf,
+    cluster.semantic_dedup, cluster.semantic_gate — previously three
+    near-identical copies, a copy-drift class the round-4 orientation
+    fix came from): one task per shard-pair tile, each fetching
+    exactly TWO bounded shards from the object store, so a Zipf-skewed
+    hot cell costs many bounded tiles, never one O(n_c^2) task heap.
+
+    When ``right_cells is left_cells`` the scan is SYMMETRIC: the
+    upper triangle (i <= j) per cell is enumerated and ``tile_fn``
+    receives diagonal=True on i == j tiles (self/mirror dedup is the
+    kernel's job — see shard_tile_pairs). Otherwise the scan is
+    DIRECTIONAL: every (left shard, right shard) pair per COMMON cell,
+    diagonal always False.
+
+    ``tile_fn(ida, Va, idb, Vb, diagonal)`` returns a pa.Table in
+    ``empty``'s schema or None. Returns the concatenated pandas frame
+    (tile outputs are reduced/thresholded, i.e. output-scale)."""
+    symmetric = right_cells is left_cells
+    if symmetric:
+        tiles = [
+            {"c": int(c), "i": i, "j": j}
+            for c in sorted(left_cells)
+            for i in range(len(left_cells[c]))
+            for j in range(i, len(left_cells[c]))
+        ]
+    else:
+        tiles = [
+            {"c": int(c), "i": i, "j": j}
+            for c in sorted(left_cells)
+            if c in right_cells
+            for i in range(len(left_cells[c]))
+            for j in range(len(right_cells[c]))
+        ]
+    if not tiles:
+        return empty.to_pandas()
+
+    def cell_tile(batch: pa.Table) -> pa.Table:
+        outs = [empty]
+        for c, i, j in zip(
+            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
+        ):
+            ida, Va = ray.get(left_cells[c][i])
+            idb, Vb = ray.get(right_cells[c][j])
+            t = tile_fn(ida, Va, idb, Vb, symmetric and i == j)
+            if t is not None:
+                outs.append(t)
+        return pa.concat_tables(outs)
+
+    return (
+        rd.from_items(tiles)
+        .map_batches(cell_tile, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+
+
 def embedding_near_dup_ivf(
     sf_dir: str,
     threshold: float = 0.38,
@@ -927,13 +984,6 @@ def embedding_near_dup_ivf(
     cent, cells = ann.build_ivf_cells_streaming(
         sf_dir, n_cells=n_cells, seed=seed, flush_rows=block_rows
     )
-    tiles = [
-        {"c": int(c), "i": i, "j": j}
-        for c in sorted(cells)
-        for i in range(len(cells[c]))
-        for j in range(i, len(cells[c]))
-    ]
-    ds = rd.from_items(tiles)
     _EMPTY = pa.table(
         {
             "vec_a": pa.array([], type=pa.int64()),
@@ -942,31 +992,20 @@ def embedding_near_dup_ivf(
         }
     )
 
-    def cell_tile(batch: pa.Table) -> pa.Table:
-        outs = [_EMPTY]
-        for c, i, j in zip(
-            batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
-        ):
-            ida, Va = ray.get(cells[c][i])
-            idb, Vb = ray.get(cells[c][j])
-            lo, hi, cos = shard_tile_pairs(
-                ida, Va, idb, Vb, diagonal=(i == j), threshold=threshold
-            )
-            outs.append(
-                pa.table(
-                    {
-                        "vec_a": pa.array(lo, type=pa.int64()),
-                        "vec_b": pa.array(hi, type=pa.int64()),
-                        "cos_e6": pa.array(
-                            np.floor(cos * 1e6 + 0.5).astype(np.int64)
-                        ),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
+    def pair_tile(ida, Va, idb, Vb, diagonal):
+        lo, hi, cos = shard_tile_pairs(
+            ida, Va, idb, Vb, diagonal=diagonal, threshold=threshold
+        )
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, type=pa.int64()),
+                "vec_b": pa.array(hi, type=pa.int64()),
+                "cos_e6": pa.array(np.floor(cos * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
 
-    out = ds.map_batches(cell_tile, batch_format="pyarrow", batch_size=1)
-    return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    out = run_shard_tiles(cells, cells, _EMPTY, pair_tile)
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def embedding_near_dup_ivf_verified(sf_dir: str) -> pd.DataFrame:

