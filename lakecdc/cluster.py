@@ -61,11 +61,16 @@ def _side_mask(
     """Row mask for a deterministic corpus split. ``side`` is
     (mod, rem, incoming): incoming rows are vec_id % mod == rem (the
     epoch delta), existing rows are the complement (the ingested
-    corpus); None keeps everything."""
+    corpus); None keeps everything. ``rem`` may also be a tuple of
+    residues (vec_id % mod IN rem — a multi-epoch subset, e.g. the
+    semindex training corpus)."""
     if side is None:
         return np.ones(len(ids), dtype=bool)
     mod, rem, incoming = side
-    m = (ids % mod) == rem
+    if isinstance(rem, tuple):
+        m = np.isin(ids % mod, np.asarray(rem, dtype=np.int64))
+    else:
+        m = (ids % mod) == rem
     return m if incoming else ~m
 
 

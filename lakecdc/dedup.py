@@ -894,6 +894,26 @@ def shard_tile_pairs(
     return np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), sims[a_idx, b_idx]
 
 
+def _fetch_shard(x) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve one cell shard to its (ids, vectors) arrays. A shard is
+    either an object-store ref of (ids, V) — the streaming builders'
+    in-session layout — or a ('pq', path, row_group) descriptor of an
+    on-disk index shard (semindex): the task point-reads exactly ONE
+    bounded parquet row group, never the file, so a compacted base
+    holding a whole hot cluster still probes in flush_rows-bounded
+    tiles."""
+    if isinstance(x, tuple) and len(x) == 3 and x[0] == "pq":
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(x[1]).read_row_group(x[2])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].combine_chunks()
+        d = t.schema.field("v").type.list_size
+        V = v.values.to_numpy(zero_copy_only=False).reshape(len(ids), d)
+        return ids, V
+    return ray.get(x)
+
+
 def run_shard_tiles(left_cells: dict, right_cells: dict, empty: pa.Table, tile_fn):
     """The ONE bounded shard-pair tile executor behind every
     cell-bucketed all-pairs/probe scan (embedding_near_dup_ivf,
@@ -937,8 +957,8 @@ def run_shard_tiles(left_cells: dict, right_cells: dict, empty: pa.Table, tile_f
         for c, i, j in zip(
             batch["c"].to_pylist(), batch["i"].to_pylist(), batch["j"].to_pylist()
         ):
-            ida, Va = ray.get(left_cells[c][i])
-            idb, Vb = ray.get(right_cells[c][j])
+            ida, Va = _fetch_shard(left_cells[c][i])
+            idb, Vb = _fetch_shard(right_cells[c][j])
             t = tile_fn(ida, Va, idb, Vb, symmetric and i == j)
             if t is not None:
                 outs.append(t)

@@ -19,6 +19,7 @@ from lakecdc import (
     queries as q,
     queries2 as q2,
     sample,
+    semindex,
     sketch,
     text,
 )
@@ -309,6 +310,12 @@ QUERIES: dict[str, Callable] = {
     # assigned cluster's existing shards — the embedding analogue of
     # the MinHash neardup_gate, fully SQL-replayed (_semgate_sql)
     "semantic_gate": cluster.semantic_gate,
+    # PERSISTED semantic index lifecycle (semindex: the dupindex
+    # discipline applied to IVF cells): build on epochs {0,1}, frozen
+    # centroids, incremental epoch-2 ingest, auto-compaction, then the
+    # epoch-3 gate probed via bounded row-group point reads — fully
+    # SQL-replayed (_semindex_gate_sql)
+    "semindex_gate": semindex.semindex_gate_lifecycle,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -372,7 +379,6 @@ _DRIVER_ORDER_HEAD = [
     "winnowing_fingerprints",
     "media_wav_features",
     "media_image_features",
-    "ann_ivf_verified",
     # round-4 addition: int8 scalar-quantized ANN — a distinct KERNEL
     # (exact-integer SQ8 codes + integer dot scores), not another
     # exhaustive-probe twin; takes ann_lsh_verified's slot (which
@@ -417,6 +423,14 @@ _DRIVER_ORDER_HEAD = [
     # kept neardup_gate), fully SQL-value-checked; funded by demoting
     # simhash_verified (see the note in _DRIVER_EXCLUDED).
     "semantic_gate",
+    # round-5 addition: the PERSISTED semantic index lifecycle
+    # (build / incremental update / auto-compaction / gate over frozen
+    # centroids — semindex.py, the dupindex discipline applied to IVF
+    # cells), fully SQL-value-checked via a from-scratch replay; funded
+    # by demoting ann_ivf_verified (shares ann_topk's oracle VERBATIM —
+    # the same redundant-twin rationale as the r04 ann_lsh_verified
+    # demotion; stays SQL-checked every pytest run).
+    "semindex_gate",
 ]
 _DRIVER_EXCLUDED = {
     # weaker-evidence twins of kept entries (kept twin in parens)
@@ -439,6 +453,10 @@ _DRIVER_EXCLUDED = {
     "ann_lsh",  # (ann_lsh_verified: same rationale)
     "ann_lsh_verified",  # (ann_topk: shares its oracle verbatim; driver-green
     #  r03 — demoted in r04 to fund the ann_sq8 slot, stays SQL-checked in pytest)
+    "ann_ivf_verified",  # (ann_topk: shares its oracle verbatim; driver-green
+    #  r03/r04 — demoted in r05 to fund the semindex_gate slot; the IVF cell
+    #  layout itself stays driver-checked through semindex_gate's persisted
+    #  cells, and the exhaustive-probe equality stays SQL-checked in pytest)
     "fingerprint_census",  # (dup_key_census covers A7; exact_dedup covers the
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
@@ -1720,6 +1738,56 @@ SELECT i.vec_id, i.cluster,
 FROM inasg i LEFT JOIN agg a USING (vec_id)"""
 
 
+def _semindex_gate_sql(
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    train_rems: tuple[int, ...] = (0, 1),
+    ex_rems: tuple[int, ...] = (0, 1, 2),
+    rem: int = 3,
+) -> str:
+    """Exact DuckDB replay of the PERSISTED semantic index lifecycle
+    (semindex.semindex_gate_lifecycle): centroids trained on the
+    ``train_rems`` subset only (the kmeans CTE chain, src=trainv),
+    then FROZEN — the existing side (``ex_rems``: training epochs plus
+    every incrementally-ingested one) and the incoming epoch (``rem``)
+    are both assigned against the final centroids by the same
+    exact-integer rule, and each incoming vector is probed only
+    against existing vectors in its assigned cluster, gated by
+    list_cosine_similarity. Because the replay recomputes the corpus
+    state from scratch, a hash match also certifies the index's
+    incremental maintenance and compaction (incremental ==
+    from-scratch == SQL). posmod as in _semgate_sql."""
+    pm = f"(((vec_id % {mod}) + {mod}) % {mod})"
+    tr = ", ".join(str(r) for r in train_rems)
+    ex = ", ".join(str(r) for r in ex_rems)
+    return f"""
+WITH trainv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({tr})),
+exv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({ex})),
+inv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} = {rem}),
+{_kmeans_cte_chain(k, iters, src="trainv")},
+{_quant_cte("expts", "exv")},
+{_assign_cte("exdist", "exasg", "expts", f"cent{iters}", keep_d2=False)},
+{_quant_cte("inpts", "inv")},
+{_assign_cte("indist", "inasg", "inpts", f"cent{iters}", keep_d2=False)},
+pairs AS (
+  SELECT i.vec_id, x.vec_id AS matched_vec
+  FROM inasg i JOIN exasg x ON i.cluster = x.cluster
+  JOIN inv ei ON ei.vec_id = i.vec_id
+  JOIN exv ex ON ex.vec_id = x.vec_id
+  WHERE list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
+                               CAST(ex.embedding AS DOUBLE[])) >= {threshold}),
+agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(matched_vec) AS canon
+        FROM pairs GROUP BY vec_id)
+SELECT i.vec_id, i.cluster,
+       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       COALESCE(a.canon, i.vec_id) AS canon,
+       CAST(CASE WHEN a.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
+FROM inasg i LEFT JOIN agg a USING (vec_id)"""
+
+
 # Iterative k-means was rows-only through round 3; the exact-integer
 # discipline makes it SQL-expressible after all (unrolled CTE chain).
 ORACLES["kmeans_embeddings"] = _kmeans_sql()
@@ -1731,6 +1799,11 @@ ORACLES["semantic_dedup"] = _semdedup_sql()
 # The semantic gate trains the same chain on the existing-side subset
 # and replays the directional cluster-bounded probe — fully SQL-checked.
 ORACLES["semantic_gate"] = _semgate_sql()
+
+# The persisted-index lifecycle replays frozen-centroid training, the
+# existing-side assignment and the cluster-bounded probe from scratch,
+# pinning incremental maintenance + compaction to the oracle.
+ORACLES["semindex_gate"] = _semindex_gate_sql()
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.

@@ -1,0 +1,524 @@
+"""Persistent semantic near-dup index — the embedding analogue of
+``dupindex`` (MinHash band-bucket chains): frozen IVF centroids plus
+per-cluster parquet shard chains, maintained INCREMENTALLY per ingest
+epoch so the semantic ingest gate never retrains or rescans the
+corpus. ``cluster.semantic_gate`` is the one-shot form (train + probe
+in one call); this module is its 100-TB lifecycle — build once, then
+per epoch: ``update_semindex`` (assign the delta with the frozen
+centroids, append one bounded shard chain link per touched cluster),
+``gate_semindex`` (probe ONLY the delta's assigned clusters via
+bounded row-group tiles), auto-compaction when a chain grows past the
+policy threshold. Reference analogue: the reference re-reads its full
+inputs every cycle (scripts/run_all.py); here maintenance is
+O(delta × cluster-shard), never O(corpus).
+
+Layout (all content deterministic at deterministic paths, so every
+step is idempotent and crash-rerunnable — the dupindex discipline):
+
+    root/meta.json                      frozen params (k, iters, mod,
+                                        d, flush_rows, compact_over,
+                                        train_rems)
+    root/centroids.parquet              frozen int64 centroids
+    root/epoch=E/cl=C/vecs.parquet      epoch E's vectors assigned to
+                                        cluster C: (vec_id, v) sorted
+                                        by vec_id, unit-normalized
+                                        float64, row_group_size =
+                                        flush_rows (each row group is
+                                        one bounded probe shard)
+    root/epoch=E/cl=C/base.parquet      compacted fold of the chain
+                                        up to epoch E
+
+Read rule (crash-safe WITHOUT an LWW fold): per cluster, the live set
+is the newest ``base.parquet`` (at epoch B) plus every non-base chain
+file at epoch > B. Files at epoch <= B are superseded — whether or
+not a crashed compaction finished deleting them — so a straggler can
+never double-count a vector. The index is APPEND-ONLY by contract
+(embedding corpora are content-addressed: a changed document arrives
+as a new vec_id; RTBF-style erasure is a compaction-time filter), the
+same contract the one-shot gate assumes.
+
+The epoch split over the synthetic ``embeddings`` table is
+vec_id % mod == epoch — the deterministic stand-in for per-epoch
+delta tables, exactly like semantic_gate's existing/incoming split.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lakecdc.config import atomic_write
+from lakecdc.qutil import read
+
+SCHEMA_VERSION = 1
+
+
+def _meta_path(root: str) -> str:
+    return os.path.join(root, "meta.json")
+
+
+def _load_meta(root: str) -> dict:
+    with open(_meta_path(root)) as f:
+        return json.load(f)
+
+
+def _load_centroids(root: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(root, "centroids.parquet"))
+    d = t.schema.field("c").type.list_size
+    return (
+        t["c"].combine_chunks().values.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .reshape(t.num_rows, d)
+    )
+
+
+def live_files(root: str) -> dict[int, list[str]]:
+    """Per-cluster live chain: the newest base (fold point B) plus
+    non-base files at epoch > B. Superseded files (epoch <= B) are
+    ignored even if a crashed compaction left them on disk."""
+    chains: dict[int, list[tuple[int, bool, str]]] = {}
+    for f in sorted(glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet"))):
+        e = int(f.split("epoch=")[1].split(os.sep)[0])
+        c = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+        chains.setdefault(c, []).append((e, os.path.basename(f) == "base.parquet", f))
+    out: dict[int, list[str]] = {}
+    for c, entries in chains.items():
+        bases = [(e, f) for e, is_b, f in entries if is_b]
+        b = max(e for e, _ in bases) if bases else -1
+        live = [f for e, f in bases if e == b]
+        live += [f for e, is_b, f in entries if not is_b and e > b]
+        out[c] = sorted(live)
+    return out
+
+
+def build_semindex(
+    root: str,
+    sf_dir: str,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    train_rems: tuple[int, ...] = (0, 1),
+    ingest_rems: tuple[int, ...] | None = None,
+    flush_rows: int = 4096,
+    compact_over: int = 8,
+) -> int:
+    """Train the frozen centroids on the ``train_rems`` subset (exact
+    int64 Lloyd — bit-identical to the single-process and SQL
+    replays), persist them, then ingest ``ingest_rems`` (default: the
+    training epochs) through the SAME ``update_semindex`` path every
+    later epoch uses. Returns total vectors ingested. At corpus scale
+    k follows SemDeDup's sizing rule (~10k-100k cells at 100M+ docs,
+    see cluster.semantic_dedup) so per-cluster chains stay
+    tile-friendly."""
+    from lakecdc.cluster import _init_centroids, _lloyd, _quantized_corpus
+
+    side = (mod, tuple(train_rems), True)
+    C = _init_centroids(sf_dir, k, side=side)
+    d = C.shape[1]
+    ds = _quantized_corpus(sf_dir, side=side, d=d)
+    C = _lloyd(ds, C, iters)
+
+    meta = {
+        "version": SCHEMA_VERSION,
+        "k": k,
+        "iters": iters,
+        "mod": mod,
+        "d": d,
+        "flush_rows": flush_rows,
+        "compact_over": compact_over,
+        "train_rems": list(train_rems),
+    }
+    atomic_write(
+        os.path.join(root, "centroids.parquet"),
+        lambda tmp: pq.write_table(
+            pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "c": pa.FixedSizeListArray.from_arrays(pa.array(C.ravel()), d),
+                }
+            ),
+            tmp,
+        ),
+    )
+    atomic_write(
+        _meta_path(root), lambda tmp: open(tmp, "w").write(json.dumps(meta))
+    )
+
+    total = 0
+    for rem in ingest_rems if ingest_rems is not None else train_rems:
+        total += update_semindex(root, sf_dir, rem)
+    return total
+
+
+def update_semindex(root: str, sf_dir: str, rem: int) -> int:
+    """Ingest one epoch's delta: assign each delta vector to its
+    nearest frozen centroid (the exact int64 rule the oracle replays),
+    unit-normalize, and append ONE chain file per touched cluster —
+    (vec_id, v) sorted by vec_id, row_group_size=flush_rows so every
+    row group is a bounded probe shard. Fully distributed (one
+    map_batches assignment pass + a cluster-keyed map_groups write),
+    idempotent (deterministic content at deterministic paths), and
+    O(delta), never O(corpus). Auto-compacts any chain past the
+    ``compact_over`` policy afterwards (the index._auto_compact
+    discipline). Returns vectors written."""
+    import ray
+
+    from lakecdc.cluster import _assign, _quantize, _side_mask
+
+    meta = _load_meta(root)
+    mod, d, flush_rows = meta["mod"], meta["d"], meta["flush_rows"]
+    cref = ray.put(_load_centroids(root))
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = t["vec_id"].to_numpy()
+        m = _side_mask(ids, (mod, rem, True))
+        if not m.all():
+            t = t.filter(pa.array(m))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "v": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], type=pa.float64()), d
+                    ),
+                }
+            )
+        X = _quantize(t["embedding"])
+        a = _assign(X, _ray.get(cref))
+        emb = t["embedding"].combine_chunks()
+        V = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(t), d)
+        )
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    t["vec_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+                "v": pa.FixedSizeListArray.from_arrays(pa.array(Vn.ravel()), d),
+            }
+        )
+
+    def write_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        c = int(g["cluster"][0].as_py())
+        sub = g.drop_columns(["cluster"]).sort_by([("vec_id", "ascending")])
+        path = os.path.join(root, f"epoch={rem:09d}", f"cl={c:05d}", "vecs.parquet")
+        atomic_write(
+            path, lambda tmp: pq.write_table(sub, tmp, row_group_size=flush_rows)
+        )
+        return pa.table({"n": pa.array([sub.num_rows], type=pa.int64())})
+
+    counts = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(write_cluster, batch_format="pyarrow")
+        .to_pandas()
+    )
+    over = meta.get("compact_over", 0)
+    if over and over > 0:
+        compact_semindex(root, over=over)
+    return int(counts["n"].sum()) if len(counts) else 0
+
+
+def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
+    """Fold every cluster chain longer than ``over`` live files into a
+    single ``base.parquet`` at the chain's top epoch (row groups stay
+    flush_rows-bounded, so probe tiles are unaffected), then delete
+    the superseded files. Crash between the base write and the deletes
+    is benign: the read rule already ignores files at epoch <= the
+    fold point, and the next compaction sweep removes stragglers.
+    Returns {cluster: live rows} for folded clusters."""
+    import ray
+
+    flush_rows = _load_meta(root)["flush_rows"]
+    live = live_files(root)
+
+    @ray.remote
+    def fold(c: int, files: list[str]) -> int:
+        t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+            [("vec_id", "ascending")]
+        )
+        top = max(int(f.split("epoch=")[1].split(os.sep)[0]) for f in files)
+        base = os.path.join(root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet")
+        atomic_write(
+            base, lambda tmp: pq.write_table(t, tmp, row_group_size=flush_rows)
+        )
+        return t.num_rows
+
+    targets = {
+        c: files for c, files in live.items() if len(files) > max(over, 1)
+    }
+    out = {
+        c: ray.get(fu)
+        for c, fu in {
+            c: fold.remote(c, files) for c, files in targets.items()
+        }.items()
+    }
+    # Deletion is the driver's commit step, AFTER every base landed: a
+    # crash anywhere before/through here only leaves superseded files,
+    # which the read rule already ignores.
+    # (every folded chain's new base sits at a strictly higher epoch
+    # than any input file's path, so the inputs are all superseded)
+    for files in targets.values():
+        for f in files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    # hygiene: drop superseded stragglers a crashed sweep left behind.
+    # Liveness is RECOMPUTED here — the folds above just wrote new base
+    # files that the pre-fold snapshot doesn't contain.
+    live_set = {f for files in live_files(root).values() for f in files}
+    for f in glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet")):
+        if f not in live_set:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return out
+
+
+def gate_semindex(
+    root: str,
+    sf_dir: str,
+    rem: int,
+    threshold: float = 0.38,
+) -> pd.DataFrame:
+    """Semantic ingest gate against the PERSISTED index: assign the
+    epoch's delta vectors with the frozen centroids, probe each ONLY
+    against its assigned cluster's live chain — one bounded tile per
+    (incoming shard, index row group), point-reading exactly one row
+    group per task (dedup._fetch_shard), the dupindex band-bucket
+    point-read discipline applied to IVF cells. Verdict frame is
+    identical to cluster.semantic_gate: one row per incoming vector,
+    (vec_id, cluster, n_matches, canon, admit). Probe cost is
+    O(delta × cluster-chain), never O(delta × corpus); nothing is
+    retrained and the corpus is never rescanned."""
+    from lakecdc.cluster import _route_cluster_shards
+    from lakecdc.dedup import run_shard_tiles
+
+    meta = _load_meta(root)
+    mod, flush_rows = meta["mod"], meta["flush_rows"]
+    C = _load_centroids(root)
+
+    # Route the delta into bounded in-memory shards (one streaming
+    # pass, driver peak O(k x flush_rows)); collect its (vec_id,
+    # cluster) assignments for the verdict frame.
+    cells, assigns = _route_cluster_shards(
+        sf_dir, C, flush_rows, {"in": (mod, rem, True)}, collect=("in",)
+    )
+    in_cells = cells["in"]
+    in_ids, in_clusters = assigns["in"]
+
+    # The existing side is the on-disk index: one ('pq', path, rg)
+    # descriptor per live row group.
+    ex_cells: dict[int, list] = {}
+    for c, files in live_files(root).items():
+        for f in files:
+            for rg in range(pq.ParquetFile(f).num_row_groups):
+                ex_cells.setdefault(c, []).append(("pq", f, rg))
+
+    _EMPTY = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "mn": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def probe_tile(idi, Vi, idx, Vx, _diagonal):
+        hit = Vi @ Vx.T >= threshold  # bounded: <= flush_rows^2
+        n = hit.sum(axis=1).astype(np.int64)
+        any_hit = n > 0
+        if not any_hit.any():
+            return None
+        big = np.iinfo(np.int64).max
+        mn = np.where(hit, idx[None, :], big).min(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(idi[any_hit], type=pa.int64()),
+                "n": pa.array(n[any_hit], type=pa.int64()),
+                "mn": pa.array(mn[any_hit], type=pa.int64()),
+            }
+        )
+
+    hits = run_shard_tiles(in_cells, ex_cells, _EMPTY, probe_tile)
+    if len(hits):
+        agg = hits.groupby("vec_id").agg(n=("n", "sum"), mn=("mn", "min"))
+        gate_map = {
+            int(v): (int(n), int(mn))
+            for v, n, mn in zip(agg.index, agg["n"], agg["mn"])
+        }
+    else:
+        gate_map = {}
+
+    n_matches = np.fromiter(
+        (gate_map.get(int(v), (0, 0))[0] for v in in_ids),
+        dtype=np.int64,
+        count=len(in_ids),
+    )
+    canon = np.fromiter(
+        (gate_map.get(int(v), (0, int(v)))[1] for v in in_ids),
+        dtype=np.int64,
+        count=len(in_ids),
+    )
+    return (
+        pd.DataFrame(
+            {
+                "vec_id": in_ids,
+                "cluster": in_clusters,
+                "n_matches": n_matches,
+                "canon": canon,
+                "admit": (n_matches == 0).astype(np.int64),
+            }
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "cluster": "int64",
+                "n_matches": "int64",
+                "canon": "int64",
+                "admit": "int64",
+            }
+        )
+    )
+
+
+def semindex_gate_lifecycle(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    flush_rows: int = 64,
+    compact_over: int = 2,
+) -> pd.DataFrame:
+    """The driver-checked lifecycle: build the index on epochs {0, 1}
+    (train + ingest), ingest epoch 2 incrementally (which trips the
+    auto-compaction policy at compact_over=2, so the gate below reads
+    a folded base chain through bounded row-group tiles), then gate
+    epoch 3 against the persisted index. The oracle
+    (registry._semindex_gate_sql) replays the frozen-centroid
+    training, the existing-side assignment and the within-cluster
+    cosine probe from scratch — so the hash check pins the WHOLE
+    build/update/compact/gate lifecycle, not just the final probe."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="semindex-", dir="/tmp")
+    try:
+        build_semindex(
+            root,
+            sf_dir,
+            k=k,
+            iters=iters,
+            mod=mod,
+            train_rems=(0, 1),
+            flush_rows=flush_rows,
+            compact_over=compact_over,
+        )
+        update_semindex(root, sf_dir, 2)
+        return gate_semindex(root, sf_dir, 3, threshold=threshold)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def semindex_gate_replay(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    train_rems: tuple[int, ...] = (0, 1),
+    ex_rems: tuple[int, ...] = (0, 1, 2),
+    rem: int = 3,
+) -> pd.DataFrame:
+    """Single-process ground truth for the full index lifecycle:
+    centroids trained on ``train_rems`` only, existing side =
+    ``ex_rems`` assigned with the FROZEN final centroids, incoming =
+    ``rem`` brute-force-probed within its assigned cluster. Must match
+    gate_semindex EXACTLY for any build/update sequence that ingested
+    ``ex_rems`` (incremental == from-scratch, pre == post compaction)."""
+    from lakecdc.cluster import _assign, _quantize, _side_mask
+    from lakecdc.qutil import table_path
+
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    X = _quantize(t["embedding"])
+
+    tr = _side_mask(ids, (mod, tuple(train_rems), True))
+    tr_ids, tr_X = ids[tr], X[tr]
+    order = np.argsort(tr_ids, kind="stable")[:k]
+    C = tr_X[order].copy()
+    for _ in range(iters):
+        a = _assign(tr_X, C)
+        newC = C.copy()
+        for c in np.unique(a):
+            sel = tr_X[a == c]
+            newC[int(c)] = sel.sum(axis=0, dtype=np.int64) // len(sel)
+        C = newC
+
+    emb = t["embedding"].combine_chunks()
+    V = (
+        emb.values.to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(ids), -1)
+    )
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+
+    ex = _side_mask(ids, (mod, tuple(ex_rems), True))
+    inc = _side_mask(ids, (mod, rem, True))
+    ex_ids, ex_a, ex_V = ids[ex], _assign(X[ex], C), Vn[ex]
+    in_ids, in_a, in_V = ids[inc], _assign(X[inc], C), Vn[inc]
+
+    rows = []
+    for c in np.unique(in_a):
+        mi, mx = in_a == c, ex_a == c
+        sub_ids, sub_ex_ids = in_ids[mi], ex_ids[mx]
+        if mx.any():
+            hit = in_V[mi] @ ex_V[mx].T >= threshold
+            n = hit.sum(axis=1).astype(np.int64)
+            big = np.iinfo(np.int64).max
+            mn = np.where(hit, sub_ex_ids[None, :], big).min(axis=1)
+        else:
+            n = np.zeros(mi.sum(), dtype=np.int64)
+            mn = np.zeros(mi.sum(), dtype=np.int64)
+        for v, nn, mm in zip(sub_ids, n, mn):
+            canon = int(mm) if nn else int(v)
+            rows.append((int(v), int(c), int(nn), canon, int(nn == 0)))
+    return (
+        pd.DataFrame(
+            rows, columns=["vec_id", "cluster", "n_matches", "canon", "admit"]
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "vec_id": "int64",
+                "cluster": "int64",
+                "n_matches": "int64",
+                "canon": "int64",
+                "admit": "int64",
+            }
+        )
+    )

@@ -1,0 +1,171 @@
+"""Persistent semantic index lifecycle (lakecdc.semindex): the gate
+over the on-disk index must equal the single-process from-scratch
+replay (and, via test_queries_vs_duckdb, the DuckDB oracle) under
+every lifecycle permutation — incremental vs from-scratch ingest,
+pre vs post compaction, idempotent re-update, crashed-compaction
+stragglers, and bounded-shard tiling."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from lakecdc.semindex import (
+    build_semindex,
+    compact_semindex,
+    gate_semindex,
+    live_files,
+    semindex_gate_lifecycle,
+    semindex_gate_replay,
+    update_semindex,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _all_files(root: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet")))
+
+
+def test_lifecycle_matches_replay_default(tmp_root):
+    got = semindex_gate_lifecycle(SF)
+    want = semindex_gate_replay(SF)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "k,iters,mod,train_rems,rem,threshold,flush_rows",
+    [
+        (4, 2, 5, (0, 2), 4, 0.30, 16),
+        (6, 3, 4, (1,), 0, 0.45, 32),
+    ],
+)
+def test_lifecycle_matches_replay_parameterized(
+    tmp_root, k, iters, mod, train_rems, rem, threshold, flush_rows
+):
+    """Parameterizations the default-arg DuckDB oracle doesn't cover:
+    build on train_rems, incrementally ingest every other non-gate
+    epoch, gate ``rem`` — must equal the from-scratch replay exactly."""
+    ingested = list(train_rems)
+    build_semindex(
+        tmp_root, SF, k=k, iters=iters, mod=mod,
+        train_rems=train_rems, flush_rows=flush_rows, compact_over=2,
+    )
+    for e in range(mod):
+        if e != rem and e not in ingested:
+            update_semindex(tmp_root, SF, e)
+            ingested.append(e)
+    got = gate_semindex(tmp_root, SF, rem, threshold=threshold)
+    want = semindex_gate_replay(
+        SF, threshold=threshold, k=k, iters=iters, mod=mod,
+        train_rems=train_rems, ex_rems=tuple(sorted(ingested)), rem=rem,
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_equals_from_scratch(tmp_root):
+    """Index built {0,1} then updated with 2 == index built with
+    {0,1,2} ingested at once (same frozen centroids): identical gate
+    verdicts — the maintenance path adds nothing and loses nothing."""
+    inc_root = os.path.join(tmp_root, "inc")
+    scr_root = os.path.join(tmp_root, "scr")
+    build_semindex(inc_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(inc_root, SF, 2)
+    build_semindex(
+        scr_root, SF, train_rems=(0, 1), ingest_rems=(0, 1, 2),
+        flush_rows=64, compact_over=0,
+    )
+    pd.testing.assert_frame_equal(
+        gate_semindex(inc_root, SF, 3), gate_semindex(scr_root, SF, 3)
+    )
+
+
+def test_compaction_invariance_and_file_count(tmp_root):
+    """Gate answers identical pre/post compaction; post-compaction
+    every cluster chain is exactly one live base file."""
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=32, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    before = gate_semindex(tmp_root, SF, 3)
+    assert any(len(f) > 1 for f in live_files(tmp_root).values())
+    folded = compact_semindex(tmp_root, over=1)
+    assert folded  # something actually compacted
+    live = live_files(tmp_root)
+    assert all(len(f) == 1 and f[0].endswith("base.parquet") for f in live.values())
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), before)
+
+
+def test_auto_compaction_bounds_chain_without_cli(tmp_root):
+    """With compact_over=2, per-cluster live chain length stays <= 2
+    across many incremental epochs — the update tick folds chains
+    itself (the index._auto_compact discipline), no CLI involved."""
+    mod = 16
+    build_semindex(
+        tmp_root, SF, mod=mod, train_rems=(0, 1), flush_rows=16, compact_over=2
+    )
+    for e in range(2, mod - 1):
+        update_semindex(tmp_root, SF, e)
+        assert all(len(f) <= 2 for f in live_files(tmp_root).values())
+    got = gate_semindex(tmp_root, SF, mod - 1)
+    want = semindex_gate_replay(
+        SF, mod=mod, train_rems=(0, 1),
+        ex_rems=tuple(range(mod - 1)), rem=mod - 1,
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_reupdate_idempotent_even_after_compaction(tmp_root):
+    """Re-running an epoch's update is a no-op for gate results — even
+    AFTER compaction consumed that epoch's files (the recreated files
+    sit at an epoch <= the fold point, so the read rule ignores them)."""
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    before = gate_semindex(tmp_root, SF, 3)
+    update_semindex(tmp_root, SF, 2)  # plain re-run
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), before)
+    compact_semindex(tmp_root, over=1)
+    update_semindex(tmp_root, SF, 2)  # re-run after its files were folded away
+    recreated = [
+        f for f in _all_files(tmp_root)
+        if "epoch=000000002" in f and f.endswith("vecs.parquet")
+    ]
+    assert recreated  # the stale files exist on disk...
+    for files in live_files(tmp_root).values():  # ...but are not live
+        assert not any("epoch=000000002" in f and f.endswith("vecs.parquet") for f in files)
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), before)
+
+
+def test_crashed_compaction_stragglers_never_double_count(tmp_root, monkeypatch):
+    """A compaction that crashes between the base write and the
+    deletes leaves superseded files beside the new base; the read rule
+    (ignore epoch <= fold point) keeps the gate exact, and the next
+    compaction sweep removes the stragglers."""
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=32, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    want = gate_semindex(tmp_root, SF, 3)
+    n_before = len(_all_files(tmp_root))
+
+    monkeypatch.setattr(os, "remove", lambda *_a, **_k: None)  # crash the deletes
+    compact_semindex(tmp_root, over=1)
+    monkeypatch.undo()
+
+    assert len(_all_files(tmp_root)) > n_before  # stragglers + new bases coexist
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+    compact_semindex(tmp_root, over=1)  # hygiene sweep removes stragglers
+    assert all(
+        len(f) == 1 and f[0].endswith("base.parquet")
+        for f in live_files(tmp_root).values()
+    )
+    assert len(_all_files(tmp_root)) == len(live_files(tmp_root))
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+
+
+def test_tiny_flush_rows_shard_invariance(tmp_root):
+    """flush_rows shifts shard/row-group boundaries only — verdicts
+    are boundary-invariant (aggregation across tiles is exact)."""
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=8, compact_over=2)
+    update_semindex(tmp_root, SF, 2)
+    got = gate_semindex(tmp_root, SF, 3)
+    pd.testing.assert_frame_equal(got, semindex_gate_replay(SF))
