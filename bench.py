@@ -350,6 +350,31 @@ def run_bench() -> dict:
         update_dupindex(cfg, last_epoch, DEFAULT_BAND_BUCKETS)
         maintenance["dupindex_update"] = round(time.time() - t0, 3)
 
+        # Persisted semantic index lifecycle over the embeddings table
+        # (semindex.py): frozen-centroid build on epochs {0,1}, one
+        # incremental delta ingest (which auto-compacts the chains),
+        # then the epoch-3 gate probing the on-disk cells through
+        # bounded row-group tiles.
+        from lakecdc.semindex import (
+            build_semindex,
+            gate_semindex,
+            update_semindex,
+        )
+
+        sem_root = os.path.join(maint_root, "semindex")
+        t0 = time.time()
+        build_semindex(sem_root, SF_DIR, train_rems=(0, 1), compact_over=2)
+        maintenance["semindex_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        update_semindex(sem_root, SF_DIR, 2)
+        maintenance["semindex_update"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        verdicts = gate_semindex(sem_root, SF_DIR, 3)
+        maintenance["semindex_gate"] = round(time.time() - t0, 3)
+        maintenance["semindex_gate_rejects"] = int(
+            (verdicts["admit"] == 0).sum()
+        )
+
         # Right-to-be-forgotten over ~1000 victims: tombstone epoch ->
         # frontier apply -> compact -> vacuum, then the parallel
         # byte-level erasure audit over every surviving lake file.

@@ -58,6 +58,33 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--evolution-epoch", type=int, default=None)
     sp.add_argument("--zipf", type=float, default=1.3)
 
+    # Persisted semantic index (semindex.py): table-driven, not
+    # lake-rooted — its inputs are an embeddings parquet dir and its
+    # own index root, so it skips EngineConfig entirely.
+    sp = sub.add_parser("semindex")
+    sp.add_argument("--index-root", required=True, dest="index_root")
+    sp.add_argument(
+        "--table-dir", required=True, dest="table_dir",
+        help="directory holding embeddings.parquet",
+    )
+    sp.add_argument(
+        "--op", choices=["build", "update", "gate", "compact"], required=True
+    )
+    sp.add_argument(
+        "--epoch", type=int, default=None,
+        help="epoch residue (vec_id %% mod) for update/gate",
+    )
+    sp.add_argument("--k", type=int, default=8)
+    sp.add_argument("--iters", type=int, default=5)
+    sp.add_argument("--mod", type=int, default=4)
+    sp.add_argument(
+        "--train-rems", default="0,1", dest="train_rems",
+        help="comma-separated residues the centroids are trained on (build)",
+    )
+    sp.add_argument("--threshold", type=float, default=0.38)
+    sp.add_argument("--flush-rows", type=int, default=4096, dest="flush_rows")
+    sp.add_argument("--compact-over", type=int, default=8, dest="compact_over")
+
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
         "lookup", "changelog", "refresh-view", "diff", "index",
@@ -164,6 +191,56 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     args = p.parse_args(argv)
+
+    if args.cmd == "semindex":
+        if args.op in ("update", "gate") and args.epoch is None:
+            p.error("--epoch is required for update/gate")
+        _ray_init(args.num_cpus)
+        import ray
+
+        from lakecdc import semindex as si
+
+        try:
+            if args.op == "build":
+                n = si.build_semindex(
+                    args.index_root,
+                    args.table_dir,
+                    k=args.k,
+                    iters=args.iters,
+                    mod=args.mod,
+                    train_rems=tuple(
+                        int(x) for x in args.train_rems.split(",")
+                    ),
+                    flush_rows=args.flush_rows,
+                    compact_over=args.compact_over,
+                )
+                print(json.dumps({"vectors_ingested": n}))
+            elif args.op == "update":
+                n = si.update_semindex(args.index_root, args.table_dir, args.epoch)
+                print(json.dumps({"vectors_ingested": n}))
+            elif args.op == "gate":
+                df = si.gate_semindex(
+                    args.index_root, args.table_dir, args.epoch,
+                    threshold=args.threshold,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "incoming": len(df),
+                            "rejects": int((df["admit"] == 0).sum()),
+                            "admits": int(df["admit"].sum()),
+                        }
+                    )
+                )
+            else:  # compact
+                folded = si.compact_semindex(
+                    args.index_root, over=args.compact_over
+                )
+                print(json.dumps({"clusters_folded": len(folded)}))
+        finally:
+            ray.shutdown()
+        return 0
+
     from lakecdc.config import EngineConfig
 
     cfg = EngineConfig.load(

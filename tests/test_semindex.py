@@ -162,6 +162,48 @@ def test_crashed_compaction_stragglers_never_double_count(tmp_root, monkeypatch)
     pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
 
 
+def test_cli_semindex_lifecycle(tmp_root):
+    """The `lakecdc semindex` CLI verb drives the same lifecycle from
+    the command line (own Ray session per invocation — the CLI owns
+    sessions, the library never does). Two invocations cover the arg
+    plumbing: build (trains + ingests {0,1}, then incrementally
+    ingests 2 via a third op) and gate, whose reject count must equal
+    the in-process oracle-pinned result."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.join(tmp_root, "idx")
+
+    def run(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "lakecdc.cli", "--num-cpus", "2", *argv],
+            capture_output=True, text=True, timeout=240,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = run(
+        "semindex", "--index-root", root, "--table-dir", SF,
+        "--op", "build", "--compact-over", "2",
+    )
+    assert r["vectors_ingested"] == 250
+    r = run(
+        "semindex", "--index-root", root, "--table-dir", SF,
+        "--op", "update", "--epoch", "2",
+    )
+    assert r["vectors_ingested"] == 125
+    r = run(
+        "semindex", "--index-root", root, "--table-dir", SF,
+        "--op", "gate", "--epoch", "3",
+    )
+    want = semindex_gate_replay(SF)
+    assert r["incoming"] == len(want)
+    assert r["rejects"] == int((want["admit"] == 0).sum())
+    assert r["admits"] == int(want["admit"].sum())
+
+
 def test_tiny_flush_rows_shard_invariance(tmp_root):
     """flush_rows shifts shard/row-group boundaries only — verdicts
     are boundary-invariant (aggregation across tiles is exact)."""
