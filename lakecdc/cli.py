@@ -8,6 +8,9 @@ Owns the Ray session (library code never does). Subcommands:
   vacuum   delete unreferenced lake files
   show     print lake/lineage summary
   verify   replay-oracle check of the current lake
+  semindex persisted semantic index lifecycle over an embeddings
+           table (build / update / gate / compact — table-driven,
+           not lake-rooted)
 
 Usage:
   python -m lakecdc.cli synth --root /tmp/mylake --docs 1000 --epochs 3 --events 5000
