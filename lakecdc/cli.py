@@ -86,7 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--threshold", type=float, default=0.38)
     sp.add_argument("--flush-rows", type=int, default=4096, dest="flush_rows")
-    sp.add_argument("--compact-over", type=int, default=8, dest="compact_over")
+    sp.add_argument(
+        "--compact-over", type=int, default=None, dest="compact_over",
+        help="build: auto-compaction policy stored in the index "
+        "(default 8); compact: fold chains longer than N files "
+        "(default 1 = full fold)",
+    )
 
     for name in (
         "apply", "compact", "vacuum", "show", "verify", "validate",
@@ -215,7 +220,9 @@ def main(argv: list[str] | None = None) -> int:
                         int(x) for x in args.train_rems.split(",")
                     ),
                     flush_rows=args.flush_rows,
-                    compact_over=args.compact_over,
+                    compact_over=(
+                        8 if args.compact_over is None else args.compact_over
+                    ),
                 )
                 print(json.dumps({"vectors_ingested": n}))
             elif args.op == "update":
@@ -237,7 +244,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:  # compact
                 folded = si.compact_semindex(
-                    args.index_root, over=args.compact_over
+                    args.index_root,
+                    over=(
+                        1 if args.compact_over is None else args.compact_over
+                    ),
                 )
                 print(json.dumps({"clusters_folded": len(folded)}))
         finally:

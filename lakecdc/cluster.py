@@ -552,19 +552,25 @@ def semantic_gate(
     )
 
 
-def semantic_gate_replay(
+def _gate_replay(
     sf_dir: str,
-    threshold: float = 0.38,
-    k: int = 8,
-    iters: int = 5,
-    mod: int = 4,
-    rem: int = 3,
+    threshold: float,
+    k: int,
+    iters: int,
+    train_side: tuple[int, int | tuple, bool],
+    ex_side: tuple[int, int | tuple, bool],
+    in_side: tuple[int, int | tuple, bool],
 ) -> pd.DataFrame:
-    """Single-process replay of semantic_gate (pytest ground truth
-    across PARAMETERIZATIONS the default-arg DuckDB oracle doesn't
-    cover): same split, same existing-side integer Lloyd, same exact
-    assignment of incoming vectors, brute-force within-cluster cosine
-    probe — must match the distributed run EXACTLY."""
+    """THE single-process gate ground truth, shared by
+    semantic_gate_replay (train == existing == complement of the
+    incoming epoch) and semindex.semindex_gate_replay (train = the
+    initial build subset, existing = every ingested epoch) — one
+    implementation so the tie rule, floor-division mean and verdict
+    schema can never diverge between them (the run_shard_tiles
+    copy-drift lesson). Centroids: integer Lloyd on ``train_side``
+    (init = k smallest train vec_ids), then FROZEN; ``ex_side`` and
+    ``in_side`` rows are assigned against the final centroids; each
+    incoming vector is brute-force cosine-probed within its cluster."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
@@ -572,20 +578,18 @@ def semantic_gate_replay(
     )
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     X = _quantize(t["embedding"])
-    inc = _side_mask(ids, (mod, rem, True))
 
-    # Existing-side Lloyd: init = k smallest existing vec_ids.
-    ex_ids, ex_X = ids[~inc], X[~inc]
-    order = np.argsort(ex_ids, kind="stable")[:k]
-    C = ex_X[order].copy()
+    tr = _side_mask(ids, train_side)
+    tr_ids, tr_X = ids[tr], X[tr]
+    order = np.argsort(tr_ids, kind="stable")[:k]
+    C = tr_X[order].copy()
     for _ in range(iters):
-        a = _assign(ex_X, C)
+        a = _assign(tr_X, C)
         newC = C.copy()
         for c in np.unique(a):
-            sel = ex_X[a == c]
+            sel = tr_X[a == c]
             newC[int(c)] = sel.sum(axis=0, dtype=np.int64) // len(sel)
         C = newC
-    ex_a = _assign(ex_X, C)
 
     emb = t["embedding"].combine_chunks()
     V = (
@@ -594,9 +598,11 @@ def semantic_gate_replay(
         .reshape(len(ids), -1)
     )
     Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
-    in_ids, in_X, in_V = ids[inc], X[inc], Vn[inc]
-    ex_V = Vn[~inc]
-    in_a = _assign(in_X, C)
+
+    ex = _side_mask(ids, ex_side)
+    inc = _side_mask(ids, in_side)
+    ex_ids, ex_a, ex_V = ids[ex], _assign(X[ex], C), Vn[ex]
+    in_ids, in_a, in_V = ids[inc], _assign(X[inc], C), Vn[inc]
 
     rows = []
     for c in np.unique(in_a):
@@ -609,7 +615,7 @@ def semantic_gate_replay(
             mn = np.where(hit, sub_ex_ids[None, :], big).min(axis=1)
         else:
             n = np.zeros(mi.sum(), dtype=np.int64)
-            mn = np.full(mi.sum(), 0, dtype=np.int64)
+            mn = np.zeros(mi.sum(), dtype=np.int64)
         for v, nn, mm in zip(sub_ids, n, mn):
             canon = int(mm) if nn else int(v)
             rows.append((int(v), int(c), int(nn), canon, int(nn == 0)))
@@ -628,6 +634,26 @@ def semantic_gate_replay(
                 "admit": "int64",
             }
         )
+    )
+
+
+def semantic_gate_replay(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    rem: int = 3,
+) -> pd.DataFrame:
+    """Single-process replay of semantic_gate (pytest ground truth
+    across PARAMETERIZATIONS the default-arg DuckDB oracle doesn't
+    cover): same split, same existing-side integer Lloyd, same exact
+    assignment of incoming vectors, brute-force within-cluster cosine
+    probe — must match the distributed run EXACTLY."""
+    side_ex = (mod, rem, False)
+    return _gate_replay(
+        sf_dir, threshold, k, iters,
+        train_side=side_ex, ex_side=side_ex, in_side=(mod, rem, True),
     )
 
 

@@ -894,6 +894,14 @@ def shard_tile_pairs(
     return np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), sims[a_idx, b_idx]
 
 
+# Per-process ParquetFile handle cache for disk-shard fetches: a hot
+# cluster's base file is probed by many (incoming shard x row group)
+# tiles in the same worker — parse its footer once, not per tile.
+# Keyed by (path, mtime_ns, size) so an atomically-replaced file (same
+# deterministic path, new content) never serves stale metadata.
+_PQ_FILES: dict = {}
+
+
 def _fetch_shard(x) -> tuple[np.ndarray, np.ndarray]:
     """Resolve one cell shard to its (ids, vectors) arrays. A shard is
     either an object-store ref of (ids, V) — the streaming builders'
@@ -903,9 +911,18 @@ def _fetch_shard(x) -> tuple[np.ndarray, np.ndarray]:
     holding a whole hot cluster still probes in flush_rows-bounded
     tiles."""
     if isinstance(x, tuple) and len(x) == 3 and x[0] == "pq":
+        import os
+
         import pyarrow.parquet as pq
 
-        t = pq.ParquetFile(x[1]).read_row_group(x[2])
+        st = os.stat(x[1])
+        key = (x[1], st.st_mtime_ns, st.st_size)
+        pf = _PQ_FILES.get(key)
+        if pf is None:
+            if len(_PQ_FILES) >= 64:
+                _PQ_FILES.pop(next(iter(_PQ_FILES)))
+            pf = _PQ_FILES[key] = pq.ParquetFile(x[1])
+        t = pf.read_row_group(x[2])
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = t["v"].combine_chunks()
         d = t.schema.field("v").type.list_size

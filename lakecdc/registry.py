@@ -1692,6 +1692,31 @@ SELECT f.vec_id, f.cluster,
 FROM asgf f LEFT JOIN comp c USING (vec_id)"""
 
 
+def _probe_verdict_sql(
+    inasg: str, exasg: str, inv: str, exv: str, threshold: float
+) -> str:
+    """The gate oracles' shared probe + verdict tail (pairs within the
+    assigned cluster gated by list_cosine_similarity, n_matches/canon
+    aggregation, one verdict row per incoming vector) — ONE definition
+    shared by _semgate_sql and _semindex_gate_sql, the same
+    can't-diverge discipline as _quant_cte/_assign_cte."""
+    return f"""pairs AS (
+  SELECT i.vec_id, x.vec_id AS matched_vec
+  FROM {inasg} i JOIN {exasg} x ON i.cluster = x.cluster
+  JOIN {inv} ei ON ei.vec_id = i.vec_id
+  JOIN {exv} ex ON ex.vec_id = x.vec_id
+  WHERE list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
+                               CAST(ex.embedding AS DOUBLE[])) >= {threshold}),
+agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+               MIN(matched_vec) AS canon
+        FROM pairs GROUP BY vec_id)
+SELECT i.vec_id, i.cluster,
+       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       COALESCE(a.canon, i.vec_id) AS canon,
+       CAST(CASE WHEN a.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
+FROM {inasg} i LEFT JOIN agg a USING (vec_id)"""
+
+
 def _semgate_sql(
     threshold: float = 0.38,
     k: int = 8,
@@ -1721,21 +1746,7 @@ inv AS (SELECT vec_id, embedding FROM embeddings
 {_kmeans_cte_chain(k, iters, src="exv")},
 {_quant_cte("inpts", "inv")},
 {_assign_cte("indist", "inasg", "inpts", f"cent{iters}", keep_d2=False)},
-pairs AS (
-  SELECT i.vec_id, x.vec_id AS matched_vec
-  FROM inasg i JOIN asg{iters} x ON i.cluster = x.cluster
-  JOIN inv ei ON ei.vec_id = i.vec_id
-  JOIN exv ex ON ex.vec_id = x.vec_id
-  WHERE list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
-                               CAST(ex.embedding AS DOUBLE[])) >= {threshold}),
-agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-               MIN(matched_vec) AS canon
-        FROM pairs GROUP BY vec_id)
-SELECT i.vec_id, i.cluster,
-       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
-       COALESCE(a.canon, i.vec_id) AS canon,
-       CAST(CASE WHEN a.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
-FROM inasg i LEFT JOIN agg a USING (vec_id)"""
+{_probe_verdict_sql("inasg", f"asg{iters}", "inv", "exv", threshold)}"""
 
 
 def _semindex_gate_sql(
@@ -1771,21 +1782,7 @@ inv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} = {rem}),
 {_assign_cte("exdist", "exasg", "expts", f"cent{iters}", keep_d2=False)},
 {_quant_cte("inpts", "inv")},
 {_assign_cte("indist", "inasg", "inpts", f"cent{iters}", keep_d2=False)},
-pairs AS (
-  SELECT i.vec_id, x.vec_id AS matched_vec
-  FROM inasg i JOIN exasg x ON i.cluster = x.cluster
-  JOIN inv ei ON ei.vec_id = i.vec_id
-  JOIN exv ex ON ex.vec_id = x.vec_id
-  WHERE list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]),
-                               CAST(ex.embedding AS DOUBLE[])) >= {threshold}),
-agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-               MIN(matched_vec) AS canon
-        FROM pairs GROUP BY vec_id)
-SELECT i.vec_id, i.cluster,
-       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
-       COALESCE(a.canon, i.vec_id) AS canon,
-       CAST(CASE WHEN a.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
-FROM inasg i LEFT JOIN agg a USING (vec_id)"""
+{_probe_verdict_sql("inasg", "exasg", "inv", "exv", threshold)}"""
 
 
 # Iterative k-means was rows-only through round 3; the exact-integer

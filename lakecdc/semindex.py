@@ -78,15 +78,51 @@ def _load_centroids(root: str) -> np.ndarray:
     )
 
 
+def _file_epoch(root: str, f: str) -> int:
+    """Epoch of one chain file, parsed from its path RELATIVE to the
+    index root — an index root that itself sits under some epoch=N
+    directory (e.g. inside a lake's layout) must not mis-parse."""
+    return int(os.path.relpath(f, root).split("epoch=")[1].split(os.sep)[0])
+
+
+def _done_path(root: str, rem: int) -> str:
+    return os.path.join(root, f"epoch={rem:09d}", "_done.json")
+
+
+def epoch_done(root: str, rem: int) -> bool:
+    """True iff ``rem``'s ingest committed (its _done marker landed).
+    The markers are the index's applied-epoch registry: chain files of
+    an UNcommitted epoch are in-flight — invisible to reads, exempt
+    from folding/hygiene — so a crash mid-update never exposes or
+    loses a partial epoch (rerun rewrites it deterministically and
+    then commits)."""
+    return os.path.exists(_done_path(root, rem))
+
+
+def _fold_point(root: str) -> int:
+    """The newest base file's epoch across all clusters (-1 if never
+    compacted): ingest below this is refused (see update_semindex)."""
+    bases = glob.glob(os.path.join(root, "epoch=*", "cl=*", "base.parquet"))
+    return max((_file_epoch(root, f) for f in bases), default=-1)
+
+
 def live_files(root: str) -> dict[int, list[str]]:
     """Per-cluster live chain: the newest base (fold point B) plus
-    non-base files at epoch > B. Superseded files (epoch <= B) are
-    ignored even if a crashed compaction left them on disk."""
+    non-base files of COMMITTED epochs > B. Superseded files
+    (epoch <= B) are ignored even if a crashed compaction left them on
+    disk; uncommitted epochs (no _done marker) are in-flight and
+    invisible."""
     chains: dict[int, list[tuple[int, bool, str]]] = {}
+    done: dict[int, bool] = {}
     for f in sorted(glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet"))):
-        e = int(f.split("epoch=")[1].split(os.sep)[0])
+        e = _file_epoch(root, f)
+        if e not in done:
+            done[e] = epoch_done(root, e)
+        is_base = os.path.basename(f) == "base.parquet"
+        if not is_base and not done[e]:
+            continue  # in-flight epoch: invisible until committed
         c = int(os.path.basename(os.path.dirname(f)).split("=")[1])
-        chains.setdefault(c, []).append((e, os.path.basename(f) == "base.parquet", f))
+        chains.setdefault(c, []).append((e, is_base, f))
     out: dict[int, list[str]] = {}
     for c, entries in chains.items():
         bases = [(e, f) for e, is_b, f in entries if is_b]
@@ -116,8 +152,19 @@ def build_semindex(
     later epoch uses. Returns total vectors ingested. At corpus scale
     k follows SemDeDup's sizing rule (~10k-100k cells at 100M+ docs,
     see cluster.semantic_dedup) so per-cluster chains stay
-    tile-friendly."""
+    tile-friendly. Refuses a non-empty index root: a stale compacted
+    base at a high epoch would supersede the fresh build's chains
+    silently (delete the root, or point elsewhere)."""
     from lakecdc.cluster import _init_centroids, _lloyd, _quantized_corpus
+
+    if os.path.exists(_meta_path(root)) or glob.glob(
+        os.path.join(root, "epoch=*")
+    ):
+        raise ValueError(
+            f"semindex root {root!r} is not empty — refusing to build over "
+            "an existing index (its compacted bases would supersede the "
+            "fresh chains); remove it or build elsewhere"
+        )
 
     side = (mod, tuple(train_rems), True)
     C = _init_centroids(sf_dir, k, side=side)
@@ -165,15 +212,34 @@ def update_semindex(root: str, sf_dir: str, rem: int) -> int:
     row group is a bounded probe shard. Fully distributed (one
     map_batches assignment pass + a cluster-keyed map_groups write),
     idempotent (deterministic content at deterministic paths), and
-    O(delta), never O(corpus). Auto-compacts any chain past the
-    ``compact_over`` policy afterwards (the index._auto_compact
-    discipline). Returns vectors written."""
+    O(delta), never O(corpus). The epoch COMMITS via an atomic _done
+    marker after all chain files landed — reads/folds ignore
+    uncommitted epochs, so a crash mid-update never exposes or loses a
+    partial epoch (rerun rewrites deterministically, then commits).
+    Auto-compacts any chain past the ``compact_over`` policy
+    afterwards (the index._auto_compact discipline). Returns vectors
+    written.
+
+    Epoch ORDER is enforced against the fold point: a never-committed
+    epoch numbered at or below the newest base would be silently
+    superseded by the read rule, so it is refused instead (ingest
+    epochs in non-decreasing order once compaction has run — the same
+    monotone-feed contract the lake's WAL has). Re-running a COMMITTED
+    epoch stays allowed and idempotent. Single-follower discipline
+    (one maintainer per index), like dupindex."""
     import ray
 
     from lakecdc.cluster import _assign, _quantize, _side_mask
 
     meta = _load_meta(root)
     mod, d, flush_rows = meta["mod"], meta["d"], meta["flush_rows"]
+    fp = _fold_point(root)
+    if rem <= fp and not epoch_done(root, rem):
+        raise ValueError(
+            f"epoch {rem} is at or below the index's fold point {fp} and "
+            "was never committed — its files would be superseded unread. "
+            "Ingest epochs in non-decreasing order once compaction has run."
+        )
     cref = ray.put(_load_centroids(root))
 
     def assign(t: pa.Table) -> pa.Table:
@@ -230,10 +296,16 @@ def update_semindex(root: str, sf_dir: str, rem: int) -> int:
         .map_groups(write_cluster, batch_format="pyarrow")
         .to_pandas()
     )
+    n = int(counts["n"].sum()) if len(counts) else 0
+    # the commit point: the epoch becomes visible all-or-nothing
+    atomic_write(
+        _done_path(root, rem),
+        lambda tmp: open(tmp, "w").write(json.dumps({"rem": rem, "rows": n})),
+    )
     over = meta.get("compact_over", 0)
     if over and over > 0:
         compact_semindex(root, over=over)
-    return int(counts["n"].sum()) if len(counts) else 0
+    return n
 
 
 def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
@@ -254,7 +326,7 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
         t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
             [("vec_id", "ascending")]
         )
-        top = max(int(f.split("epoch=")[1].split(os.sep)[0]) for f in files)
+        top = max(_file_epoch(root, f) for f in files)
         base = os.path.join(root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet")
         atomic_write(
             base, lambda tmp: pq.write_table(t, tmp, row_group_size=flush_rows)
@@ -283,10 +355,11 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
                 pass
     # hygiene: drop superseded stragglers a crashed sweep left behind.
     # Liveness is RECOMPUTED here — the folds above just wrote new base
-    # files that the pre-fold snapshot doesn't contain.
+    # files that the pre-fold snapshot doesn't contain. Files of an
+    # UNCOMMITTED epoch are in-flight, not stragglers: left alone.
     live_set = {f for files in live_files(root).values() for f in files}
     for f in glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet")):
-        if f not in live_set:
+        if f not in live_set and epoch_done(root, _file_epoch(root, f)):
             try:
                 os.remove(f)
             except FileNotFoundError:
@@ -456,69 +529,14 @@ def semindex_gate_replay(
     ``ex_rems`` assigned with the FROZEN final centroids, incoming =
     ``rem`` brute-force-probed within its assigned cluster. Must match
     gate_semindex EXACTLY for any build/update sequence that ingested
-    ``ex_rems`` (incremental == from-scratch, pre == post compaction)."""
-    from lakecdc.cluster import _assign, _quantize, _side_mask
-    from lakecdc.qutil import table_path
+    ``ex_rems`` (incremental == from-scratch, pre == post compaction).
+    Delegates to cluster._gate_replay — ONE ground-truth
+    implementation shared with semantic_gate_replay."""
+    from lakecdc.cluster import _gate_replay
 
-    t = pq.read_table(
-        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    )
-    ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    X = _quantize(t["embedding"])
-
-    tr = _side_mask(ids, (mod, tuple(train_rems), True))
-    tr_ids, tr_X = ids[tr], X[tr]
-    order = np.argsort(tr_ids, kind="stable")[:k]
-    C = tr_X[order].copy()
-    for _ in range(iters):
-        a = _assign(tr_X, C)
-        newC = C.copy()
-        for c in np.unique(a):
-            sel = tr_X[a == c]
-            newC[int(c)] = sel.sum(axis=0, dtype=np.int64) // len(sel)
-        C = newC
-
-    emb = t["embedding"].combine_chunks()
-    V = (
-        emb.values.to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(len(ids), -1)
-    )
-    Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
-
-    ex = _side_mask(ids, (mod, tuple(ex_rems), True))
-    inc = _side_mask(ids, (mod, rem, True))
-    ex_ids, ex_a, ex_V = ids[ex], _assign(X[ex], C), Vn[ex]
-    in_ids, in_a, in_V = ids[inc], _assign(X[inc], C), Vn[inc]
-
-    rows = []
-    for c in np.unique(in_a):
-        mi, mx = in_a == c, ex_a == c
-        sub_ids, sub_ex_ids = in_ids[mi], ex_ids[mx]
-        if mx.any():
-            hit = in_V[mi] @ ex_V[mx].T >= threshold
-            n = hit.sum(axis=1).astype(np.int64)
-            big = np.iinfo(np.int64).max
-            mn = np.where(hit, sub_ex_ids[None, :], big).min(axis=1)
-        else:
-            n = np.zeros(mi.sum(), dtype=np.int64)
-            mn = np.zeros(mi.sum(), dtype=np.int64)
-        for v, nn, mm in zip(sub_ids, n, mn):
-            canon = int(mm) if nn else int(v)
-            rows.append((int(v), int(c), int(nn), canon, int(nn == 0)))
-    return (
-        pd.DataFrame(
-            rows, columns=["vec_id", "cluster", "n_matches", "canon", "admit"]
-        )
-        .sort_values("vec_id")
-        .reset_index(drop=True)
-        .astype(
-            {
-                "vec_id": "int64",
-                "cluster": "int64",
-                "n_matches": "int64",
-                "canon": "int64",
-                "admit": "int64",
-            }
-        )
+    return _gate_replay(
+        sf_dir, threshold, k, iters,
+        train_side=(mod, tuple(train_rems), True),
+        ex_side=(mod, tuple(ex_rems), True),
+        in_side=(mod, rem, True),
     )

@@ -162,6 +162,67 @@ def test_crashed_compaction_stragglers_never_double_count(tmp_root, monkeypatch)
     pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
 
 
+def test_out_of_order_epoch_refused_not_lost(tmp_root):
+    """A never-committed epoch numbered at or below the fold point
+    would be silently superseded by the read rule — update must REFUSE
+    it (visible error beats silent loss), leaving the index intact."""
+    from lakecdc.semindex import _fold_point
+
+    build_semindex(
+        tmp_root, SF, mod=5, train_rems=(1, 2), flush_rows=64, compact_over=1
+    )
+    assert _fold_point(tmp_root) >= 1  # auto-compaction has folded
+    with pytest.raises(ValueError, match="fold point"):
+        update_semindex(tmp_root, SF, 0)
+    want = semindex_gate_replay(
+        SF, mod=5, train_rems=(1, 2), ex_rems=(1, 2), rem=4
+    )
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 4), want)
+
+
+def test_inflight_epoch_invisible_until_committed(tmp_root):
+    """Chain files without their epoch's _done marker (a crash between
+    the writes and the commit) are invisible to gates, exempt from
+    folding AND from the hygiene sweep; the rerun commits them."""
+    from lakecdc.semindex import _done_path
+
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    os.remove(_done_path(tmp_root, 2))  # simulate crash before commit
+
+    want_12 = semindex_gate_replay(SF, ex_rems=(0, 1))
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want_12)
+    compact_semindex(tmp_root, over=1)  # folds {0,1} only
+    inflight = [f for f in _all_files(tmp_root) if "epoch=000000002" in f]
+    assert inflight  # in-flight files survived the hygiene sweep
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want_12)
+
+    update_semindex(tmp_root, SF, 2)  # resume: rewrite + commit
+    pd.testing.assert_frame_equal(
+        gate_semindex(tmp_root, SF, 3), semindex_gate_replay(SF)
+    )
+
+
+def test_build_refuses_nonempty_root(tmp_root):
+    """Rebuilding over an existing index would leave stale compacted
+    bases that supersede the fresh chains — refused up front."""
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64)
+    with pytest.raises(ValueError, match="not empty"):
+        build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64)
+
+
+def test_index_root_under_epoch_dir_parses_correctly(tmp_root):
+    """An index root nested under some epoch=N directory (a lake's own
+    layout) must not mis-parse chain-file epochs from the absolute
+    path — epochs are parsed relative to the root."""
+    nested = os.path.join(tmp_root, "epoch=000000007", "idx")
+    build_semindex(nested, SF, train_rems=(0, 1), flush_rows=64, compact_over=2)
+    update_semindex(nested, SF, 2)
+    pd.testing.assert_frame_equal(
+        gate_semindex(nested, SF, 3), semindex_gate_replay(SF)
+    )
+
+
 def test_cli_semindex_lifecycle(tmp_root):
     """The `lakecdc semindex` CLI verb drives the same lifecycle from
     the command line (own Ray session per invocation — the CLI owns
