@@ -272,3 +272,105 @@ def test_tiny_flush_rows_shard_invariance(tmp_root):
     update_semindex(tmp_root, SF, 2)
     got = gate_semindex(tmp_root, SF, 3)
     pd.testing.assert_frame_equal(got, semindex_gate_replay(SF))
+
+
+# ---------------------------------------------------------------------------
+# Randomized crash-point fuzz for the semindex lifecycle — the same
+# seedable kill-site machinery as the apply/backfill fuzz
+# (config._fault_point via LAKECDC_FAULT_FUZZ, armed by conftest):
+# every atomic_write in build/update/compact — chain files and folds
+# inside Ray workers, centroids, meta, _done commit markers — becomes
+# a crash site; resume by re-running the step; the final gate must
+# equal the single-process replay exactly.
+# ---------------------------------------------------------------------------
+
+_SEM_FUZZ_CRASHES: list[str] = []
+_SEM_SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_semindex_random_crash_resume(tmp_root, seed):
+    import json
+    import random
+    import shutil
+
+    from lakecdc.semindex import compact_semindex
+
+    rng = random.Random(9000 + seed)
+    root = os.path.join(tmp_root, "idx")
+    flush = rng.choice([16, 32, 64])
+    over = rng.choice([0, 2])
+
+    def plan():
+        with open(os.path.join(root, "_faults.json"), "w") as f:
+            json.dump(
+                {
+                    "salt": rng.randrange(1 << 30),
+                    "mod": rng.choice([2, 3, 4]),
+                    "mode": rng.choice(["before", "torn", "after"]),
+                },
+                f,
+            )
+
+    def unplan():
+        p = os.path.join(root, "_faults.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def attempt(run) -> bool:
+        try:
+            run()
+            return False
+        except Exception as e:  # noqa: BLE001 — inspect the cause chain
+            if "injected crash" in str(e):
+                _SEM_FUZZ_CRASHES.append(f"seed={seed}: {e}")
+                return True
+            raise
+
+    def run_step(fn, reset=None, rounds=3):
+        """Run under re-seeded fault plans, resuming by re-running;
+        if every plan crashes it, drop the plan and finish clean."""
+        for _ in range(rounds):
+            os.makedirs(root, exist_ok=True)
+            plan()
+            if not attempt(fn):
+                unplan()
+                return
+            if reset is not None:
+                reset()
+        os.makedirs(root, exist_ok=True)
+        unplan()
+        fn()
+
+    def build():
+        build_semindex(
+            root, _SEM_SF, train_rems=(0, 1), flush_rows=flush,
+            compact_over=over,
+        )
+
+    # build has no partial-resume contract (it refuses a dirty root):
+    # a crashed build resets to an empty root and rebuilds — that IS
+    # its documented recovery path.
+    run_step(
+        build,
+        reset=lambda: shutil.rmtree(root, ignore_errors=True),
+    )
+    # update/compact resume by plain re-run (idempotent; _done is the
+    # commit point).
+    run_step(lambda: update_semindex(root, _SEM_SF, 2))
+    run_step(lambda: compact_semindex(root, over=1))
+
+    got = gate_semindex(root, _SEM_SF, 3)
+    want = semindex_gate_replay(_SEM_SF)
+    pd.testing.assert_frame_equal(got, want)
+    # idempotence after a crash history: one more resume changes nothing
+    update_semindex(root, _SEM_SF, 2)
+    pd.testing.assert_frame_equal(gate_semindex(root, _SEM_SF, 3), want)
+
+
+def test_semindex_crash_fuzz_coverage():
+    """The fuzz must actually have fired at injected sites; a zero
+    count would mean the hook is disarmed for this lifecycle."""
+    if not _SEM_FUZZ_CRASHES:
+        pytest.skip("fuzz matrix did not run in this session (subset run)")
+    assert len(_SEM_FUZZ_CRASHES) >= 6, _SEM_FUZZ_CRASHES
