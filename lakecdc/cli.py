@@ -67,8 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("semindex")
     sp.add_argument("--index-root", required=True, dest="index_root")
     sp.add_argument(
-        "--table-dir", required=True, dest="table_dir",
-        help="directory holding embeddings.parquet",
+        "--table-dir", default=None, dest="table_dir",
+        help="directory holding embeddings.parquet (build/update/gate)",
     )
     sp.add_argument(
         "--op", choices=["build", "update", "gate", "compact"], required=True
@@ -77,15 +77,24 @@ def main(argv: list[str] | None = None) -> int:
         "--epoch", type=int, default=None,
         help="epoch residue (vec_id %% mod) for update/gate",
     )
-    sp.add_argument("--k", type=int, default=8)
-    sp.add_argument("--iters", type=int, default=5)
-    sp.add_argument("--mod", type=int, default=4)
+    # build-only knobs (frozen into meta.json; update/gate/compact read
+    # the stored values — passing them there is an error, not a no-op)
+    sp.add_argument("--k", type=int, default=None, help="build only (default 8)")
+    sp.add_argument("--iters", type=int, default=None, help="build only (default 5)")
+    sp.add_argument("--mod", type=int, default=None, help="build only (default 4)")
     sp.add_argument(
-        "--train-rems", default="0,1", dest="train_rems",
-        help="comma-separated residues the centroids are trained on (build)",
+        "--train-rems", default=None, dest="train_rems",
+        help="build only: comma-separated residues the centroids are "
+        "trained on (default 0,1)",
     )
-    sp.add_argument("--threshold", type=float, default=0.38)
-    sp.add_argument("--flush-rows", type=int, default=4096, dest="flush_rows")
+    sp.add_argument(
+        "--flush-rows", type=int, default=None, dest="flush_rows",
+        help="build only (default 4096)",
+    )
+    sp.add_argument(
+        "--threshold", type=float, default=None,
+        help="gate only (default 0.38)",
+    )
     sp.add_argument(
         "--compact-over", type=int, default=None, dest="compact_over",
         help="build: auto-compaction policy stored in the index "
@@ -203,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "semindex":
         if args.op in ("update", "gate") and args.epoch is None:
             p.error("--epoch is required for update/gate")
+        if args.op in ("build", "update", "gate") and args.table_dir is None:
+            p.error("--table-dir is required for build/update/gate")
+        if args.op != "build":
+            ignored = [
+                f"--{n.replace('_', '-')}"
+                for n in ("k", "iters", "mod", "train_rems", "flush_rows")
+                if getattr(args, n) is not None
+            ]
+            if ignored:
+                p.error(
+                    f"{' '.join(ignored)} only apply to --op build (the "
+                    "index's stored meta.json governs the other ops)"
+                )
+        if args.op != "gate" and args.threshold is not None:
+            p.error("--threshold only applies to --op gate")
         _ray_init(args.num_cpus)
         import ray
 
@@ -213,13 +237,16 @@ def main(argv: list[str] | None = None) -> int:
                 n = si.build_semindex(
                     args.index_root,
                     args.table_dir,
-                    k=args.k,
-                    iters=args.iters,
-                    mod=args.mod,
+                    k=8 if args.k is None else args.k,
+                    iters=5 if args.iters is None else args.iters,
+                    mod=4 if args.mod is None else args.mod,
                     train_rems=tuple(
-                        int(x) for x in args.train_rems.split(",")
+                        int(x)
+                        for x in (args.train_rems or "0,1").split(",")
                     ),
-                    flush_rows=args.flush_rows,
+                    flush_rows=(
+                        4096 if args.flush_rows is None else args.flush_rows
+                    ),
                     compact_over=(
                         8 if args.compact_over is None else args.compact_over
                     ),
@@ -231,7 +258,9 @@ def main(argv: list[str] | None = None) -> int:
             elif args.op == "gate":
                 df = si.gate_semindex(
                     args.index_root, args.table_dir, args.epoch,
-                    threshold=args.threshold,
+                    threshold=(
+                        0.38 if args.threshold is None else args.threshold
+                    ),
                 )
                 print(
                     json.dumps(

@@ -452,9 +452,9 @@ def semantic_gate(
     cluster). At 100-TB scale the existing side's per-cluster shards
     are the persisted IVF cells (ann.build_ivf_cells_streaming's
     layout): the gate builds them once and probes per-epoch deltas
-    incrementally, exactly like dupindex's band-bucket point reads."""
-    from lakecdc.dedup import run_shard_tiles
-
+    incrementally, exactly like dupindex's band-bucket point reads —
+    semindex.py IS that lifecycle, sharing this gate's probe/verdict
+    kernel via _probe_verdicts."""
     side_ex = (mod, rem, False)
     C = _init_centroids(sf_dir, k, side=side_ex)
     d = C.shape[1]
@@ -474,12 +474,31 @@ def semantic_gate(
     )
     ex_cells, in_cells = cells["ex"], cells["in"]
     in_ids, in_clusters = assigns["in"]
+    return _probe_verdicts(in_cells, ex_cells, in_ids, in_clusters, threshold)
 
-    # Directional probe tiles: every (incoming shard, existing shard)
-    # pair WITHIN a cluster — each tile <= flush_rows x flush_rows.
-    # Each tile emits PER-VECTOR aggregates (match count + min existing
-    # id), so the driver collect stays delta-scale even when a
-    # dup-dense cluster matches one incoming vector thousands of times.
+
+def _probe_verdicts(
+    in_cells: dict,
+    ex_cells: dict,
+    in_ids: np.ndarray,
+    in_clusters: np.ndarray,
+    threshold: float,
+) -> pd.DataFrame:
+    """THE directional probe + verdict assembly shared by
+    semantic_gate and semindex.gate_semindex — one implementation so
+    the tile kernel, aggregation and verdict schema can never diverge
+    between the one-shot and persisted-index gates (the
+    run_shard_tiles copy-drift lesson). ``ex_cells`` shards may be
+    object-store refs or on-disk ('pq', path, row_group) descriptors
+    (dedup._fetch_shard resolves both).
+
+    Directional probe tiles: every (incoming shard, existing shard)
+    pair WITHIN a cluster — each tile <= flush_rows x flush_rows.
+    Each tile emits PER-VECTOR aggregates (match count + min existing
+    id), so the driver collect stays delta-scale even when a
+    dup-dense cluster matches one incoming vector thousands of times."""
+    from lakecdc.dedup import run_shard_tiles
+
     _EMPTY = pa.table(
         {
             "vec_id": pa.array([], type=pa.int64()),
@@ -516,8 +535,8 @@ def semantic_gate(
     else:
         gate_map = {}
 
-    # Verdict frame straight from the routing pass's collected
-    # incoming assignments — no re-read, no re-quantize, no re-assign.
+    # Verdict frame straight from the caller's collected incoming
+    # assignments — no re-read, no re-quantize, no re-assign.
     n_matches = np.fromiter(
         (gate_map.get(int(v), (0, 0))[0] for v in in_ids),
         dtype=np.int64,

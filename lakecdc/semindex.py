@@ -56,7 +56,10 @@ import pyarrow.parquet as pq
 from lakecdc.config import atomic_write
 from lakecdc.qutil import read
 
-SCHEMA_VERSION = 1
+# v2: epochs commit via _done markers and the read rule ignores
+# uncommitted chain files — a v1 index (no markers) would silently
+# read empty under v2 code, so the version is CHECKED on every load.
+SCHEMA_VERSION = 2
 
 
 def _meta_path(root: str) -> str:
@@ -65,7 +68,15 @@ def _meta_path(root: str) -> str:
 
 def _load_meta(root: str) -> dict:
     with open(_meta_path(root)) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if meta.get("version") != SCHEMA_VERSION:
+        raise ValueError(
+            f"semindex at {root!r} has on-disk version "
+            f"{meta.get('version')!r}, this code reads version "
+            f"{SCHEMA_VERSION} — rebuild the index (the commit-marker "
+            "read rule changed; silently reading it would drop chains)"
+        )
+    return meta
 
 
 def _load_centroids(root: str) -> np.ndarray:
@@ -199,7 +210,10 @@ def build_semindex(
     )
 
     total = 0
-    for rem in ingest_rems if ingest_rems is not None else train_rems:
+    # ascending order: a mid-build auto-compaction can then never put
+    # the fold point above a not-yet-ingested epoch (which update's
+    # out-of-order guard would refuse, stranding the build half-done)
+    for rem in sorted(set(ingest_rems if ingest_rems is not None else train_rems)):
         total += update_semindex(root, sf_dir, rem)
     return total
 
@@ -356,10 +370,17 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
     # hygiene: drop superseded stragglers a crashed sweep left behind.
     # Liveness is RECOMPUTED here — the folds above just wrote new base
     # files that the pre-fold snapshot doesn't contain. Files of an
-    # UNCOMMITTED epoch are in-flight, not stragglers: left alone.
+    # UNCOMMITTED epoch are in-flight, not stragglers — left alone —
+    # UNLESS the epoch sits at or below the fold point: such an epoch
+    # can never commit (update refuses it), so its files are
+    # unreachable garbage and reclaiming them is the only exit.
     live_set = {f for files in live_files(root).values() for f in files}
+    fp = _fold_point(root)
     for f in glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet")):
-        if f not in live_set and epoch_done(root, _file_epoch(root, f)):
+        if f in live_set:
+            continue
+        e = _file_epoch(root, f)
+        if epoch_done(root, e) or e <= fp:
             try:
                 os.remove(f)
             except FileNotFoundError:
@@ -380,11 +401,12 @@ def gate_semindex(
     group per task (dedup._fetch_shard), the dupindex band-bucket
     point-read discipline applied to IVF cells. Verdict frame is
     identical to cluster.semantic_gate: one row per incoming vector,
-    (vec_id, cluster, n_matches, canon, admit). Probe cost is
-    O(delta × cluster-chain), never O(delta × corpus); nothing is
-    retrained and the corpus is never rescanned."""
-    from lakecdc.cluster import _route_cluster_shards
-    from lakecdc.dedup import run_shard_tiles
+    (vec_id, cluster, n_matches, canon, admit) — assembled by the
+    SHARED probe/verdict kernel (cluster._probe_verdicts), so the two
+    gates cannot drift. Probe cost is O(delta × cluster-chain), never
+    O(delta × corpus); nothing is retrained and the corpus is never
+    rescanned."""
+    from lakecdc.cluster import _probe_verdicts, _route_cluster_shards
 
     meta = _load_meta(root)
     mod, flush_rows = meta["mod"], meta["flush_rows"]
@@ -407,72 +429,7 @@ def gate_semindex(
             for rg in range(pq.ParquetFile(f).num_row_groups):
                 ex_cells.setdefault(c, []).append(("pq", f, rg))
 
-    _EMPTY = pa.table(
-        {
-            "vec_id": pa.array([], type=pa.int64()),
-            "n": pa.array([], type=pa.int64()),
-            "mn": pa.array([], type=pa.int64()),
-        }
-    )
-
-    def probe_tile(idi, Vi, idx, Vx, _diagonal):
-        hit = Vi @ Vx.T >= threshold  # bounded: <= flush_rows^2
-        n = hit.sum(axis=1).astype(np.int64)
-        any_hit = n > 0
-        if not any_hit.any():
-            return None
-        big = np.iinfo(np.int64).max
-        mn = np.where(hit, idx[None, :], big).min(axis=1)
-        return pa.table(
-            {
-                "vec_id": pa.array(idi[any_hit], type=pa.int64()),
-                "n": pa.array(n[any_hit], type=pa.int64()),
-                "mn": pa.array(mn[any_hit], type=pa.int64()),
-            }
-        )
-
-    hits = run_shard_tiles(in_cells, ex_cells, _EMPTY, probe_tile)
-    if len(hits):
-        agg = hits.groupby("vec_id").agg(n=("n", "sum"), mn=("mn", "min"))
-        gate_map = {
-            int(v): (int(n), int(mn))
-            for v, n, mn in zip(agg.index, agg["n"], agg["mn"])
-        }
-    else:
-        gate_map = {}
-
-    n_matches = np.fromiter(
-        (gate_map.get(int(v), (0, 0))[0] for v in in_ids),
-        dtype=np.int64,
-        count=len(in_ids),
-    )
-    canon = np.fromiter(
-        (gate_map.get(int(v), (0, int(v)))[1] for v in in_ids),
-        dtype=np.int64,
-        count=len(in_ids),
-    )
-    return (
-        pd.DataFrame(
-            {
-                "vec_id": in_ids,
-                "cluster": in_clusters,
-                "n_matches": n_matches,
-                "canon": canon,
-                "admit": (n_matches == 0).astype(np.int64),
-            }
-        )
-        .sort_values("vec_id")
-        .reset_index(drop=True)
-        .astype(
-            {
-                "vec_id": "int64",
-                "cluster": "int64",
-                "n_matches": "int64",
-                "canon": "int64",
-                "admit": "int64",
-            }
-        )
-    )
+    return _probe_verdicts(in_cells, ex_cells, in_ids, in_clusters, threshold)
 
 
 def semindex_gate_lifecycle(

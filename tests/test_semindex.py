@@ -223,6 +223,60 @@ def test_index_root_under_epoch_dir_parses_correctly(tmp_root):
     )
 
 
+def test_build_ingests_rems_in_ascending_order(tmp_root):
+    """Caller-order train_rems with an aggressive auto-compaction
+    policy must not strand the build: a mid-build fold at a high epoch
+    would make a later lower-numbered ingest hit the out-of-order
+    guard, so build sorts its ingest sequence."""
+    build_semindex(
+        tmp_root, SF, mod=5, train_rems=(2, 1, 0), flush_rows=32, compact_over=1
+    )
+    want = semindex_gate_replay(
+        SF, mod=5, train_rems=(0, 1, 2), ex_rems=(0, 1, 2), rem=4
+    )
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 4), want)
+
+
+def test_version_mismatch_rejected_not_misread(tmp_root):
+    """An index written under a different on-disk version must be
+    refused loudly — the v2 commit-marker read rule would silently
+    drop a v1 index's chains."""
+    import json
+
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64)
+    mp = os.path.join(tmp_root, "meta.json")
+    meta = json.load(open(mp))
+    meta["version"] = 1
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="version"):
+        gate_semindex(tmp_root, SF, 3)
+    with pytest.raises(ValueError, match="version"):
+        update_semindex(tmp_root, SF, 2)
+
+
+def test_unreachable_inflight_epoch_reclaimed(tmp_root):
+    """An in-flight epoch that falls at or below the fold point can
+    never commit (update refuses it) — compaction reclaims its files
+    instead of leaving permanent garbage, and the gate stays exact."""
+    from lakecdc.semindex import _done_path
+
+    build_semindex(tmp_root, SF, mod=5, train_rems=(0, 1), flush_rows=64,
+                   compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    os.remove(_done_path(tmp_root, 2))  # crash before epoch 2's commit
+    update_semindex(tmp_root, SF, 3)
+    compact_semindex(tmp_root, over=1)  # fold point -> 3
+    with pytest.raises(ValueError, match="fold point"):
+        update_semindex(tmp_root, SF, 2)  # can never commit now
+    assert not [
+        f for f in _all_files(tmp_root) if "epoch=000000002" in f
+    ]  # ...so its files were reclaimed, not stranded
+    want = semindex_gate_replay(
+        SF, mod=5, train_rems=(0, 1), ex_rems=(0, 1, 3), rem=4
+    )
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 4), want)
+
+
 def test_cli_semindex_lifecycle(tmp_root):
     """The `lakecdc semindex` CLI verb drives the same lifecycle from
     the command line (own Ray session per invocation — the CLI owns
@@ -285,10 +339,12 @@ def test_tiny_flush_rows_shard_invariance(tmp_root):
 # ---------------------------------------------------------------------------
 
 _SEM_FUZZ_CRASHES: list[str] = []
+_SEM_FUZZ_SEEDS_RUN: set[int] = set()
+_SEM_FUZZ_N_SEEDS = 8
 _SEM_SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(_SEM_FUZZ_N_SEEDS))
 def test_semindex_random_crash_resume(tmp_root, seed):
     import json
     import random
@@ -296,6 +352,7 @@ def test_semindex_random_crash_resume(tmp_root, seed):
 
     from lakecdc.semindex import compact_semindex
 
+    _SEM_FUZZ_SEEDS_RUN.add(seed)
     rng = random.Random(9000 + seed)
     root = os.path.join(tmp_root, "idx")
     flush = rng.choice([16, 32, 64])
@@ -370,7 +427,9 @@ def test_semindex_random_crash_resume(tmp_root, seed):
 
 def test_semindex_crash_fuzz_coverage():
     """The fuzz must actually have fired at injected sites; a zero
-    count would mean the hook is disarmed for this lifecycle."""
-    if not _SEM_FUZZ_CRASHES:
-        pytest.skip("fuzz matrix did not run in this session (subset run)")
+    count over the FULL matrix would mean the hook is disarmed for
+    this lifecycle. Only meaningful when every seed ran in this
+    process (a -k subset or xdist shard skips the floor)."""
+    if len(_SEM_FUZZ_SEEDS_RUN) < _SEM_FUZZ_N_SEEDS:
+        pytest.skip("full fuzz matrix did not run in this process")
     assert len(_SEM_FUZZ_CRASHES) >= 6, _SEM_FUZZ_CRASHES
