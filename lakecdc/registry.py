@@ -316,6 +316,10 @@ QUERIES: dict[str, Callable] = {
     # epoch-3 gate probed via bounded row-group point reads — fully
     # SQL-replayed (_semindex_gate_sql)
     "semindex_gate": semindex.semindex_gate_lifecycle,
+    # ANN top-k SERVED from the persisted index (IVF nprobe=1 over the
+    # compacted cells, ann_topk's exact tie discipline) — fully
+    # SQL-replayed (_semindex_search_sql); r06 rotation candidate
+    "semindex_search": semindex.semindex_search_lifecycle,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -457,6 +461,9 @@ _DRIVER_EXCLUDED = {
     #  r03/r04 — demoted in r05 to fund the semindex_gate slot; the IVF cell
     #  layout itself stays driver-checked through semindex_gate's persisted
     #  cells, and the exhaustive-probe equality stays SQL-checked in pytest)
+    "semindex_search",  # new late in r05 (ANN top-k served from the
+    #  persisted cells, full SQL replay) — first rotation candidate for
+    #  r06; SQL-value-checked every pytest run meanwhile
     "fingerprint_census",  # (dup_key_census covers A7; exact_dedup covers the
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
@@ -1801,6 +1808,53 @@ ORACLES["semantic_gate"] = _semgate_sql()
 # existing-side assignment and the cluster-bounded probe from scratch,
 # pinning incremental maintenance + compaction to the oracle.
 ORACLES["semindex_gate"] = _semindex_gate_sql()
+
+
+def _semindex_search_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    kc: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    train_rems: tuple[int, ...] = (0, 1),
+    ex_rems: tuple[int, ...] = (0, 1, 2),
+) -> str:
+    """Exact DuckDB replay of semindex.semindex_search_lifecycle:
+    frozen centroids trained on ``train_rems``, the existing side
+    (``ex_rems`` — everything the index ingested) and the query probe
+    set (vec_id < n_queries) both assigned against the final
+    centroids, then cosine top-k WITHIN the query's cluster only (the
+    IVF nprobe=1 trade, replayed identically on both sides), with
+    ann_topk's tie discipline (s DESC, neighbor_id ASC) and rounded
+    cos_e6 output. Self-matches excluded."""
+    pm = f"(((vec_id % {mod}) + {mod}) % {mod})"
+    tr = ", ".join(str(r) for r in train_rems)
+    ex = ", ".join(str(r) for r in ex_rems)
+    return f"""
+WITH trainv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({tr})),
+exv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({ex})),
+qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+{_kmeans_cte_chain(kc, iters, src="trainv")},
+{_quant_cte("expts", "exv")},
+{_assign_cte("exdist", "exasg", "expts", f"cent{iters}", keep_d2=False)},
+{_quant_cte("qpts", "qv")},
+{_assign_cte("qdist", "qasg", "qpts", f"cent{iters}", keep_d2=False)},
+sims AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s
+  FROM qasg q JOIN exasg x ON q.cluster = x.cluster
+  JOIN qv a ON a.vec_id = q.vec_id
+  JOIN exv b ON b.vec_id = x.vec_id
+  WHERE x.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(FLOOR(s*1e6 + 0.5) AS BIGINT) AS cos_e6
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) <= {k}"""
+
+
+# ANN search over the persisted cells: a hash match certifies the
+# stored vectors, the frozen assignment AND the tile top-k merge.
+ORACLES["semindex_search"] = _semindex_search_sql()
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.

@@ -54,7 +54,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from lakecdc.config import atomic_write
-from lakecdc.qutil import read
+from lakecdc.qutil import read, table_path
 
 # v2: epochs commit via _done markers and the read rule ignores
 # uncommitted chain files — a v1 index (no markers) would silently
@@ -430,6 +430,156 @@ def gate_semindex(
                 ex_cells.setdefault(c, []).append(("pq", f, rg))
 
     return _probe_verdicts(in_cells, ex_cells, in_ids, in_clusters, threshold)
+
+
+def search_semindex(
+    root: str,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+) -> pd.DataFrame:
+    """ANN cosine top-k served FROM the persisted index (IVF
+    nprobe=1): each query (vec_id < n_queries — a small external probe
+    set, read driver-side like contamination_check's probe side) is
+    assigned to its nearest frozen centroid and scanned ONLY against
+    that cluster's live chain, one bounded tile per (query shard,
+    index row group). Each tile emits its local top-k per query
+    (output-scale); the driver merges by (sim DESC, neighbor_id ASC)
+    — ann_topk's exact tie discipline — and emits (query_id,
+    neighbor_id, cos_e6). Self-matches are excluded. The IVF trade:
+    recall bounded by cluster assignment, cost O(queries x
+    cluster-chain) instead of O(queries x corpus)."""
+    from lakecdc.cluster import _assign, _quantize
+    from lakecdc.dedup import run_shard_tiles
+
+    import ray
+
+    meta = _load_meta(root)
+    d, flush_rows = meta["d"], meta["flush_rows"]
+    C = _load_centroids(root)
+
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = ids < n_queries
+    t = t.filter(pa.array(keep))
+    qids = ids[keep].astype(np.int64)
+    if len(qids):
+        a = _assign(_quantize(t["embedding"]), C)
+        emb = t["embedding"].combine_chunks()
+        V = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(qids), d)
+        )
+        Qn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+    else:
+        a = np.empty(0, np.int64)
+        Qn = np.empty((0, d), np.float64)
+
+    q_cells: dict[int, list] = {}
+    for c in np.unique(a):
+        m = a == c
+        ci, cv = qids[m], Qn[m]
+        for pos in range(0, len(ci), flush_rows):
+            q_cells.setdefault(int(c), []).append(
+                ray.put((ci[pos : pos + flush_rows], cv[pos : pos + flush_rows]))
+            )
+
+    ex_cells: dict[int, list] = {}
+    for c, files in live_files(root).items():
+        for f in files:
+            for rg in range(pq.ParquetFile(f).num_row_groups):
+                ex_cells.setdefault(c, []).append(("pq", f, rg))
+
+    _EMPTY = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def search_tile(idq, Vq, idx, Vx, _diagonal):
+        sims = Vq @ Vx.T  # bounded: <= flush_rows^2
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(idq)):
+            s = sims[qi]
+            cand = np.nonzero(idx != idq[qi])[0]  # exclude self
+            if not len(cand):
+                continue
+            # local top-k by (sim desc, neighbor asc): lexsort,
+            # primary key last
+            order = cand[np.lexsort((idx[cand], -s[cand]))[:k]]
+            out_q.extend([int(idq[qi])] * len(order))
+            out_n.extend(idx[order].tolist())
+            out_s.extend(s[order].tolist())
+        if not out_q:
+            return None
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "s": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    hits = run_shard_tiles(q_cells, ex_cells, _EMPTY, search_tile)
+    if len(hits):
+        out = (
+            hits.sort_values(
+                ["query_id", "s", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        out = out.assign(
+            cos_e6=np.floor(out["s"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        )[["query_id", "neighbor_id", "cos_e6"]]
+    else:
+        out = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos_e6": []}
+        )
+    return (
+        out.sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+        .astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos_e6": "int64"}
+        )
+    )
+
+
+def semindex_search_lifecycle(
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    kc: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    flush_rows: int = 64,
+    compact_over: int = 2,
+) -> pd.DataFrame:
+    """Registry entry: build on epochs {0,1}, ingest epoch 2
+    incrementally (trips auto-compaction), then serve ANN top-k from
+    the persisted cells. The oracle (registry._semindex_search_sql)
+    replays frozen-centroid training + existing-side assignment +
+    within-cluster top-k from scratch."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="semindex-s-", dir="/tmp")
+    try:
+        build_semindex(
+            root, sf_dir, k=kc, iters=iters, mod=mod, train_rems=(0, 1),
+            flush_rows=flush_rows, compact_over=compact_over,
+        )
+        update_semindex(root, sf_dir, 2)
+        return search_semindex(root, sf_dir, n_queries=n_queries, k=k)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def semindex_gate_lifecycle(

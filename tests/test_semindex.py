@@ -328,6 +328,33 @@ def test_tiny_flush_rows_shard_invariance(tmp_root):
     pd.testing.assert_frame_equal(got, semindex_gate_replay(SF))
 
 
+def test_search_invariants_and_compaction_invariance(tmp_root):
+    """ANN top-k from the persisted cells (the DuckDB value check runs
+    in test_queries_vs_duckdb): <= k rows per query, scores
+    non-increasing per query under the (s desc, neighbor asc) rule, no
+    self matches — and identical results pre/post compaction and at a
+    tiny flush_rows (tile/row-group boundaries cannot move results)."""
+    from lakecdc.semindex import search_semindex
+
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    got = search_semindex(tmp_root, SF, n_queries=8, k=5)
+    assert (got.groupby("query_id").size() <= 5).all()
+    assert not (got["query_id"] == got["neighbor_id"]).any()
+    for _, g in got.groupby("query_id"):
+        s = g.sort_values(["cos_e6", "neighbor_id"], ascending=[False, True])
+        assert s["cos_e6"].is_monotonic_decreasing or len(s) == 1
+    compact_semindex(tmp_root, over=1)
+    pd.testing.assert_frame_equal(
+        search_semindex(tmp_root, SF, n_queries=8, k=5), got
+    )
+
+    tiny = os.path.join(tmp_root, "tiny")
+    build_semindex(tiny, SF, train_rems=(0, 1), flush_rows=8, compact_over=2)
+    update_semindex(tiny, SF, 2)
+    pd.testing.assert_frame_equal(search_semindex(tiny, SF, n_queries=8, k=5), got)
+
+
 # ---------------------------------------------------------------------------
 # Randomized crash-point fuzz for the semindex lifecycle — the same
 # seedable kill-site machinery as the apply/backfill fuzz
