@@ -374,6 +374,12 @@ def run_bench() -> dict:
         maintenance["semindex_gate_rejects"] = int(
             (verdicts["admit"] == 0).sum()
         )
+        from lakecdc.semindex import search_semindex
+
+        t0 = time.time()
+        nn = search_semindex(sem_root, SF_DIR, n_queries=64, k=10)
+        maintenance["semindex_search"] = round(time.time() - t0, 3)
+        maintenance["semindex_search_rows"] = len(nn)
 
         # Right-to-be-forgotten over ~1000 victims: tombstone epoch ->
         # frontier apply -> compact -> vacuum, then the parallel

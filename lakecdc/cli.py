@@ -9,8 +9,8 @@ Owns the Ray session (library code never does). Subcommands:
   show     print lake/lineage summary
   verify   replay-oracle check of the current lake
   semindex persisted semantic index lifecycle over an embeddings
-           table (build / update / gate / compact — table-driven,
-           not lake-rooted)
+           table (build / update / gate / search / compact —
+           table-driven, not lake-rooted)
 
 Usage:
   python -m lakecdc.cli synth --root /tmp/mylake --docs 1000 --epochs 3 --events 5000
@@ -71,7 +71,9 @@ def main(argv: list[str] | None = None) -> int:
         help="directory holding embeddings.parquet (build/update/gate)",
     )
     sp.add_argument(
-        "--op", choices=["build", "update", "gate", "compact"], required=True
+        "--op",
+        choices=["build", "update", "gate", "search", "compact"],
+        required=True,
     )
     sp.add_argument(
         "--epoch", type=int, default=None,
@@ -94,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--threshold", type=float, default=None,
         help="gate only (default 0.38)",
+    )
+    sp.add_argument(
+        "--n-queries", type=int, default=None, dest="n_queries",
+        help="search only: probe set is vec_id < N (default 8)",
+    )
+    sp.add_argument(
+        "--topk", type=int, default=None,
+        help="search only: neighbors per query (default 5)",
     )
     sp.add_argument(
         "--compact-over", type=int, default=None, dest="compact_over",
@@ -212,8 +222,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "semindex":
         if args.op in ("update", "gate") and args.epoch is None:
             p.error("--epoch is required for update/gate")
-        if args.op in ("build", "update", "gate") and args.table_dir is None:
-            p.error("--table-dir is required for build/update/gate")
+        if args.op != "compact" and args.table_dir is None:
+            p.error("--table-dir is required for build/update/gate/search")
         if args.op != "build":
             ignored = [
                 f"--{n.replace('_', '-')}"
@@ -227,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
         if args.op != "gate" and args.threshold is not None:
             p.error("--threshold only applies to --op gate")
+        if args.op != "search" and (
+            args.n_queries is not None or args.topk is not None
+        ):
+            p.error("--n-queries/--topk only apply to --op search")
         _ray_init(args.num_cpus)
         import ray
 
@@ -268,6 +282,21 @@ def main(argv: list[str] | None = None) -> int:
                             "incoming": len(df),
                             "rejects": int((df["admit"] == 0).sum()),
                             "admits": int(df["admit"].sum()),
+                        }
+                    )
+                )
+            elif args.op == "search":
+                df = si.search_semindex(
+                    args.index_root,
+                    args.table_dir,
+                    n_queries=8 if args.n_queries is None else args.n_queries,
+                    k=5 if args.topk is None else args.topk,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "queries": int(df["query_id"].nunique()),
+                            "results": len(df),
                         }
                     )
                 )

@@ -144,6 +144,19 @@ def live_files(root: str) -> dict[int, list[str]]:
     return out
 
 
+def _live_row_group_cells(root: str) -> dict[int, list]:
+    """The on-disk index as probe cells: one ('pq', path, row_group)
+    descriptor per live row group (dedup._fetch_shard resolves them) —
+    ONE enumeration shared by gate_semindex and search_semindex so the
+    read rule can never diverge between the two serve paths."""
+    cells: dict[int, list] = {}
+    for c, files in live_files(root).items():
+        for f in files:
+            for rg in range(pq.ParquetFile(f).num_row_groups):
+                cells.setdefault(c, []).append(("pq", f, rg))
+    return cells
+
+
 def build_semindex(
     root: str,
     sf_dir: str,
@@ -420,15 +433,7 @@ def gate_semindex(
     )
     in_cells = cells["in"]
     in_ids, in_clusters = assigns["in"]
-
-    # The existing side is the on-disk index: one ('pq', path, rg)
-    # descriptor per live row group.
-    ex_cells: dict[int, list] = {}
-    for c, files in live_files(root).items():
-        for f in files:
-            for rg in range(pq.ParquetFile(f).num_row_groups):
-                ex_cells.setdefault(c, []).append(("pq", f, rg))
-
+    ex_cells = _live_row_group_cells(root)
     return _probe_verdicts(in_cells, ex_cells, in_ids, in_clusters, threshold)
 
 
@@ -458,13 +463,15 @@ def search_semindex(
     d, flush_rows = meta["d"], meta["flush_rows"]
     C = _load_centroids(root)
 
+    # probe set only: predicate pushdown keeps the driver read
+    # O(n_queries), never the corpus (contamination_check's probe-side
+    # discipline)
     t = pq.read_table(
-        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
-    ids = t["vec_id"].to_numpy(zero_copy_only=False)
-    keep = ids < n_queries
-    t = t.filter(pa.array(keep))
-    qids = ids[keep].astype(np.int64)
+    qids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(qids):
         a = _assign(_quantize(t["embedding"]), C)
         emb = t["embedding"].combine_chunks()
@@ -487,11 +494,7 @@ def search_semindex(
                 ray.put((ci[pos : pos + flush_rows], cv[pos : pos + flush_rows]))
             )
 
-    ex_cells: dict[int, list] = {}
-    for c, files in live_files(root).items():
-        for f in files:
-            for rg in range(pq.ParquetFile(f).num_row_groups):
-                ex_cells.setdefault(c, []).append(("pq", f, rg))
+    ex_cells = _live_row_group_cells(root)
 
     _EMPTY = pa.table(
         {

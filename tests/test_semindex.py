@@ -328,22 +328,62 @@ def test_tiny_flush_rows_shard_invariance(tmp_root):
     pd.testing.assert_frame_equal(got, semindex_gate_replay(SF))
 
 
-def test_search_invariants_and_compaction_invariance(tmp_root):
-    """ANN top-k from the persisted cells (the DuckDB value check runs
-    in test_queries_vs_duckdb): <= k rows per query, scores
-    non-increasing per query under the (s desc, neighbor asc) rule, no
-    self matches — and identical results pre/post compaction and at a
-    tiny flush_rows (tile/row-group boundaries cannot move results)."""
+def _search_reference(root: str, n_queries: int, k: int) -> pd.DataFrame:
+    """Brute-force within-cluster top-k against the index's OWN frozen
+    centroids and ingested sides — the single-process ground truth the
+    distributed tile merge must reproduce exactly."""
+    import pyarrow.parquet as pq
+
+    from lakecdc.cluster import _assign, _quantize
+    from lakecdc.qutil import table_path
+    from lakecdc.semindex import _load_centroids, _load_meta
+
+    meta = _load_meta(root)
+    C = _load_centroids(root)
+    t = pq.read_table(table_path(SF, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    X = _quantize(t["embedding"])
+    import numpy as np
+
+    emb = t["embedding"].combine_chunks()
+    V = emb.values.to_numpy(zero_copy_only=False).astype("float64").reshape(
+        len(ids), meta["d"]
+    )
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
+    a = _assign(X, C)
+    ex = np.isin(ids % meta["mod"], np.array([0, 1, 2]))  # the ingested epochs
+    rows = []
+    for qi in np.nonzero(ids < n_queries)[0]:
+        cand = np.nonzero(ex & (a == a[qi]) & (ids != ids[qi]))[0]
+        s = Vn[cand] @ Vn[qi]
+        order = cand[np.lexsort((ids[cand], -s))[:k]]
+        ss = Vn[order] @ Vn[qi]
+        for nid, sv in zip(ids[order], ss):
+            rows.append(
+                (int(ids[qi]), int(nid), int(np.floor(sv * 1e6 + 0.5)))
+            )
+    return (
+        pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_e6"])
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+        .astype({"query_id": "int64", "neighbor_id": "int64", "cos_e6": "int64"})
+    )
+
+
+def test_search_matches_brute_force_and_compaction_invariance(tmp_root):
+    """ANN top-k from the persisted cells must equal the brute-force
+    within-cluster top-k under the same frozen centroids (the DuckDB
+    value check runs in test_queries_vs_duckdb) — a returned k-worst
+    set or a broken merge cannot pass. Also identical pre/post
+    compaction and at a tiny flush_rows (tile/row-group boundaries
+    cannot move results)."""
     from lakecdc.semindex import search_semindex
 
     build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
     update_semindex(tmp_root, SF, 2)
     got = search_semindex(tmp_root, SF, n_queries=8, k=5)
-    assert (got.groupby("query_id").size() <= 5).all()
     assert not (got["query_id"] == got["neighbor_id"]).any()
-    for _, g in got.groupby("query_id"):
-        s = g.sort_values(["cos_e6", "neighbor_id"], ascending=[False, True])
-        assert s["cos_e6"].is_monotonic_decreasing or len(s) == 1
+    pd.testing.assert_frame_equal(got, _search_reference(tmp_root, 8, 5))
     compact_semindex(tmp_root, over=1)
     pd.testing.assert_frame_equal(
         search_semindex(tmp_root, SF, n_queries=8, k=5), got
