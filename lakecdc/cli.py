@@ -9,8 +9,8 @@ Owns the Ray session (library code never does). Subcommands:
   show     print lake/lineage summary
   verify   replay-oracle check of the current lake
   semindex persisted semantic index lifecycle over an embeddings
-           table (build / update / gate / search / compact —
-           table-driven, not lake-rooted)
+           table (build / update / gate / search / forget / compact
+           — table-driven, not lake-rooted)
 
 Usage:
   python -m lakecdc.cli synth --root /tmp/mylake --docs 1000 --epochs 3 --events 5000
@@ -72,8 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument(
         "--op",
-        choices=["build", "update", "gate", "search", "compact"],
+        choices=["build", "update", "gate", "search", "forget", "compact"],
         required=True,
+    )
+    sp.add_argument(
+        "--ids", default=None,
+        help="forget only: comma-separated vec_ids (fence + vacuum + audit)",
     )
     sp.add_argument(
         "--epoch", type=int, default=None,
@@ -222,8 +226,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "semindex":
         if args.op in ("update", "gate") and args.epoch is None:
             p.error("--epoch is required for update/gate")
-        if args.op != "compact" and args.table_dir is None:
+        if args.op not in ("compact", "forget") and args.table_dir is None:
             p.error("--table-dir is required for build/update/gate/search")
+        if args.op == "forget" and args.ids is None:
+            p.error("--ids is required for forget")
+        if args.op != "forget" and args.ids is not None:
+            p.error("--ids only applies to --op forget")
         if args.op != "build":
             ignored = [
                 f"--{n.replace('_', '-')}"
@@ -285,6 +293,11 @@ def main(argv: list[str] | None = None) -> int:
                         }
                     )
                 )
+            elif args.op == "forget":
+                victims = [int(x) for x in args.ids.split(",")]
+                n = si.forget_semindex(args.index_root, victims, vacuum=True)
+                si.assert_forgotten_semindex(args.index_root, victims)
+                print(json.dumps({"fence_size": n, "erasure_audit": "ok"}))
             elif args.op == "search":
                 df = si.search_semindex(
                     args.index_root,

@@ -579,6 +579,7 @@ def _gate_replay(
     train_side: tuple[int, int | tuple, bool],
     ex_side: tuple[int, int | tuple, bool],
     in_side: tuple[int, int | tuple, bool],
+    ex_exclude: tuple[int, ...] = (),
 ) -> pd.DataFrame:
     """THE single-process gate ground truth, shared by
     semantic_gate_replay (train == existing == complement of the
@@ -619,6 +620,9 @@ def _gate_replay(
     Vn = V / np.maximum(np.linalg.norm(V, axis=1), 1e-30)[:, None]
 
     ex = _side_mask(ids, ex_side)
+    if ex_exclude:
+        # the semindex RTBF fence: forgotten ids leave the probe side
+        ex &= ~np.isin(ids, np.asarray(ex_exclude, dtype=np.int64))
     inc = _side_mask(ids, in_side)
     ex_ids, ex_a, ex_V = ids[ex], _assign(X[ex], C), Vn[ex]
     in_ids, in_a, in_V = ids[inc], _assign(X[inc], C), Vn[inc]

@@ -905,12 +905,15 @@ _PQ_FILES: dict = {}
 def _fetch_shard(x) -> tuple[np.ndarray, np.ndarray]:
     """Resolve one cell shard to its (ids, vectors) arrays. A shard is
     either an object-store ref of (ids, V) — the streaming builders'
-    in-session layout — or a ('pq', path, row_group) descriptor of an
-    on-disk index shard (semindex): the task point-reads exactly ONE
-    bounded parquet row group, never the file, so a compacted base
-    holding a whole hot cluster still probes in flush_rows-bounded
-    tiles."""
-    if isinstance(x, tuple) and len(x) == 3 and x[0] == "pq":
+    in-session layout — or a ('pq', path, row_group[, exclude_ref])
+    descriptor of an on-disk index shard (semindex): the task
+    point-reads exactly ONE bounded parquet row group, never the file,
+    so a compacted base holding a whole hot cluster still probes in
+    flush_rows-bounded tiles. An optional 4th element is an
+    object-store ref of forgotten vec_ids filtered out AT the read
+    boundary — the RTBF fence applies to every consumer of the shard
+    identically."""
+    if isinstance(x, tuple) and len(x) in (3, 4) and x[0] == "pq":
         import os
 
         import pyarrow.parquet as pq
@@ -927,6 +930,11 @@ def _fetch_shard(x) -> tuple[np.ndarray, np.ndarray]:
         v = t["v"].combine_chunks()
         d = t.schema.field("v").type.list_size
         V = v.values.to_numpy(zero_copy_only=False).reshape(len(ids), d)
+        if len(x) == 4:
+            excl = ray.get(x[3])
+            m = ~np.isin(ids, excl)
+            if not m.all():
+                ids, V = ids[m], V[m]
         return ids, V
     return ray.get(x)
 

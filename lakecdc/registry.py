@@ -320,6 +320,11 @@ QUERIES: dict[str, Callable] = {
     # compacted cells, ann_topk's exact tie discipline) — fully
     # SQL-replayed (_semindex_search_sql); r06 rotation candidate
     "semindex_search": semindex.semindex_search_lifecycle,
+    # RTBF over the persisted index: forget fence + vacuum-fold +
+    # byte-level erasure audit, then the gate must behave as if the
+    # forgotten vectors were never ingested — fully SQL-replayed
+    # (_semindex_gate_sql with the fence); r06 rotation candidate
+    "semindex_forget_gate": semindex.semindex_forget_gate_lifecycle,
     # --- multimodal plumbing ---
     "media_features": multimodal.media_features,  # stub decode: rows-only
     "media_wav_features": multimodal.media_wav_features,  # REAL numpy WAV kernel
@@ -464,6 +469,9 @@ _DRIVER_EXCLUDED = {
     "semindex_search",  # new late in r05 (ANN top-k served from the
     #  persisted cells, full SQL replay) — first rotation candidate for
     #  r06; SQL-value-checked every pytest run meanwhile
+    "semindex_forget_gate",  # new late in r05 (RTBF fence + vacuum +
+    #  erasure audit over the persisted index, full SQL replay) — r06
+    #  rotation candidate; SQL-value-checked every pytest run meanwhile
     "fingerprint_census",  # (dup_key_census covers A7; exact_dedup covers the
     #  md5(text) fingerprint grouping — kept pytest-checked)
     "quality_score",  # (corpus_prep value-checks the identical quality
@@ -1764,6 +1772,7 @@ def _semindex_gate_sql(
     train_rems: tuple[int, ...] = (0, 1),
     ex_rems: tuple[int, ...] = (0, 1, 2),
     rem: int = 3,
+    forget_below: int | None = None,
 ) -> str:
     """Exact DuckDB replay of the PERSISTED semantic index lifecycle
     (semindex.semindex_gate_lifecycle): centroids trained on the
@@ -1776,13 +1785,20 @@ def _semindex_gate_sql(
     list_cosine_similarity. Because the replay recomputes the corpus
     state from scratch, a hash match also certifies the index's
     incremental maintenance and compaction (incremental ==
-    from-scratch == SQL). posmod as in _semgate_sql."""
+    from-scratch == SQL). posmod as in _semgate_sql. ``forget_below``
+    models the RTBF fence: existing vectors with vec_id below it are
+    excluded from the probe side (they remain potential INCOMING
+    vectors — forget fences the index, not the stream)."""
     pm = f"(((vec_id % {mod}) + {mod}) % {mod})"
     tr = ", ".join(str(r) for r in train_rems)
     ex = ", ".join(str(r) for r in ex_rems)
+    fence = (
+        f" AND vec_id >= {forget_below}" if forget_below is not None else ""
+    )
     return f"""
 WITH trainv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({tr})),
-exv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} IN ({ex})),
+exv AS (SELECT vec_id, embedding FROM embeddings
+        WHERE {pm} IN ({ex}){fence}),
 inv AS (SELECT vec_id, embedding FROM embeddings WHERE {pm} = {rem}),
 {_kmeans_cte_chain(k, iters, src="trainv")},
 {_quant_cte("expts", "exv")},
@@ -1855,6 +1871,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id AS
 # ANN search over the persisted cells: a hash match certifies the
 # stored vectors, the frozen assignment AND the tile top-k merge.
 ORACLES["semindex_search"] = _semindex_search_sql()
+
+# RTBF: the same gate replay with the forgotten fence excluded from
+# the probe side — certifies fence + vacuum erasure + post-forget gate.
+ORACLES["semindex_forget_gate"] = _semindex_gate_sql(forget_below=16)
 
 # Exhaustive probing makes the IVF/LSH index paths exactly equal to
 # brute force — they share ann_topk's oracle verbatim.

@@ -34,8 +34,14 @@ file at epoch > B. Files at epoch <= B are superseded — whether or
 not a crashed compaction finished deleting them — so a straggler can
 never double-count a vector. The index is APPEND-ONLY by contract
 (embedding corpora are content-addressed: a changed document arrives
-as a new vec_id; RTBF-style erasure is a compaction-time filter), the
-same contract the one-shot gate assumes.
+as a new vec_id), the same contract the one-shot gate assumes.
+RTBF-style erasure: ``forget_semindex`` registers vec_ids in
+``root/forgotten.json`` (a permanent fence — gate/search exclude
+them at read time immediately, and a re-ingested epoch can never
+resurrect them), then physical bytes disappear at the next fold
+(``vacuum=True`` forces a full fold right away);
+``assert_forgotten_semindex`` is the byte-level audit — the lake's
+forget/fence/audit discipline applied to this index.
 
 The epoch split over the synthetic ``embeddings`` table is
 vec_id % mod == epoch — the deterministic stand-in for per-epoch
@@ -144,16 +150,81 @@ def live_files(root: str) -> dict[int, list[str]]:
     return out
 
 
+def _forgotten_path(root: str) -> str:
+    return os.path.join(root, "forgotten.json")
+
+
+def load_forgotten(root: str) -> np.ndarray:
+    """The index's RTBF fence: sorted int64 vec_ids that every read
+    excludes and every fold physically drops. Absent file = empty."""
+    p = _forgotten_path(root)
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    with open(p) as f:
+        return np.asarray(sorted(json.load(f)), dtype=np.int64)
+
+
+def forget_semindex(
+    root: str, vec_ids, *, vacuum: bool = True
+) -> int:
+    """Right-to-be-forgotten over index vectors: union ``vec_ids``
+    into the permanent forgotten fence (idempotent, atomic). The
+    fence takes effect IMMEDIATELY on gate/search reads, and — because
+    reads and folds both consult it — a crashed or re-run
+    ``update_semindex`` of an old epoch can never resurrect a
+    forgotten vector. ``vacuum=True`` forces a full fold right away so
+    the bytes physically leave disk (otherwise the next compaction
+    drops them). Returns the fence size."""
+    cur = set(load_forgotten(root).tolist())
+    cur.update(int(v) for v in vec_ids)
+    atomic_write(
+        _forgotten_path(root),
+        lambda tmp: open(tmp, "w").write(json.dumps(sorted(cur))),
+    )
+    if vacuum:
+        compact_semindex(root, over=1, force=True)
+    return len(cur)
+
+
+def assert_forgotten_semindex(root: str, vec_ids) -> None:
+    """Byte-level erasure audit: scan every live chain file's vec_id
+    column and raise if any forgotten id survives (the lake's
+    assert_forgotten applied to this index). Run after a
+    vacuum-fold."""
+    want = np.asarray(sorted({int(v) for v in vec_ids}), dtype=np.int64)
+    for c, files in live_files(root).items():
+        for f in files:
+            got = pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy()
+            hit = np.intersect1d(got, want)
+            if len(hit):
+                raise AssertionError(
+                    f"forgotten vec_ids {hit.tolist()} still present in "
+                    f"{f} (cluster {c}) — vacuum-fold did not erase them"
+                )
+
+
 def _live_row_group_cells(root: str) -> dict[int, list]:
     """The on-disk index as probe cells: one ('pq', path, row_group)
     descriptor per live row group (dedup._fetch_shard resolves them) —
     ONE enumeration shared by gate_semindex and search_semindex so the
-    read rule can never diverge between the two serve paths."""
+    read rule can never diverge between the two serve paths. When the
+    RTBF fence is non-empty, every descriptor carries its broadcast
+    ref so forgotten vectors are filtered AT the read boundary — even
+    before a vacuum-fold has physically erased them."""
+    import ray
+
+    forgotten = load_forgotten(root)
+    excl_ref = ray.put(forgotten) if len(forgotten) else None
     cells: dict[int, list] = {}
     for c, files in live_files(root).items():
         for f in files:
             for rg in range(pq.ParquetFile(f).num_row_groups):
-                cells.setdefault(c, []).append(("pq", f, rg))
+                desc = (
+                    ("pq", f, rg)
+                    if excl_ref is None
+                    else ("pq", f, rg, excl_ref)
+                )
+                cells.setdefault(c, []).append(desc)
     return cells
 
 
@@ -335,17 +406,23 @@ def update_semindex(root: str, sf_dir: str, rem: int) -> int:
     return n
 
 
-def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
+def compact_semindex(
+    root: str, over: int = 1, force: bool = False
+) -> dict[int, int]:
     """Fold every cluster chain longer than ``over`` live files into a
     single ``base.parquet`` at the chain's top epoch (row groups stay
-    flush_rows-bounded, so probe tiles are unaffected), then delete
-    the superseded files. Crash between the base write and the deletes
-    is benign: the read rule already ignores files at epoch <= the
-    fold point, and the next compaction sweep removes stragglers.
-    Returns {cluster: live rows} for folded clusters."""
+    flush_rows-bounded, so probe tiles are unaffected), dropping any
+    RTBF-forgotten vectors, then delete the superseded files. Crash
+    between the base write and the deletes is benign: the read rule
+    already ignores files at epoch <= the fold point, and the next
+    compaction sweep removes stragglers. ``force=True`` folds EVERY
+    live chain regardless of length — the vacuum mode forget uses so
+    forgotten bytes physically leave even a single already-folded
+    base. Returns {cluster: live rows} for folded clusters."""
     import ray
 
     flush_rows = _load_meta(root)["flush_rows"]
+    forgotten = load_forgotten(root)
     live = live_files(root)
 
     @ray.remote
@@ -353,6 +430,10 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
         t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
             [("vec_id", "ascending")]
         )
+        if len(forgotten):
+            m = ~np.isin(t["vec_id"].to_numpy(), forgotten)
+            if not m.all():
+                t = t.filter(pa.array(m))
         top = max(_file_epoch(root, f) for f in files)
         base = os.path.join(root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet")
         atomic_write(
@@ -361,7 +442,9 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
         return t.num_rows
 
     targets = {
-        c: files for c, files in live.items() if len(files) > max(over, 1)
+        c: files
+        for c, files in live.items()
+        if len(files) > max(over, 1) or (force and files)
     }
     out = {
         c: ray.get(fu)
@@ -371,11 +454,17 @@ def compact_semindex(root: str, over: int = 1) -> dict[int, int]:
     }
     # Deletion is the driver's commit step, AFTER every base landed: a
     # crash anywhere before/through here only leaves superseded files,
-    # which the read rule already ignores.
-    # (every folded chain's new base sits at a strictly higher epoch
-    # than any input file's path, so the inputs are all superseded)
-    for files in targets.values():
+    # which the read rule already ignores. A force-fold of a single
+    # base rewrites IN PLACE (same top epoch), so its own output path
+    # is skipped.
+    for c, files in targets.items():
+        top = max(_file_epoch(root, f) for f in files)
+        base = os.path.join(
+            root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet"
+        )
         for f in files:
+            if f == base:
+                continue
             try:
                 os.remove(f)
             except FileNotFoundError:
@@ -585,6 +674,41 @@ def semindex_search_lifecycle(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def semindex_forget_gate_lifecycle(
+    sf_dir: str,
+    threshold: float = 0.38,
+    k: int = 8,
+    iters: int = 5,
+    mod: int = 4,
+    flush_rows: int = 64,
+    compact_over: int = 2,
+    forget_below: int = 16,
+) -> pd.DataFrame:
+    """Registry entry for the RTBF path: build {0,1}, ingest epoch 2,
+    FORGET every index vector with vec_id < forget_below (fence +
+    vacuum-fold + byte-level erasure audit), then gate epoch 3 — the
+    verdicts must behave as if the forgotten vectors were never
+    ingested. The oracle (_semindex_gate_sql with forget_below)
+    excludes them from the existing side, so a hash match certifies
+    the fence, the physical erasure AND the post-forget probe."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="semindex-f-", dir="/tmp")
+    try:
+        build_semindex(
+            root, sf_dir, k=k, iters=iters, mod=mod, train_rems=(0, 1),
+            flush_rows=flush_rows, compact_over=compact_over,
+        )
+        update_semindex(root, sf_dir, 2)
+        victims = range(forget_below)
+        forget_semindex(root, victims, vacuum=True)
+        assert_forgotten_semindex(root, victims)
+        return gate_semindex(root, sf_dir, 3, threshold=threshold)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def semindex_gate_lifecycle(
     sf_dir: str,
     threshold: float = 0.38,
@@ -633,6 +757,7 @@ def semindex_gate_replay(
     train_rems: tuple[int, ...] = (0, 1),
     ex_rems: tuple[int, ...] = (0, 1, 2),
     rem: int = 3,
+    forget_ids: tuple[int, ...] = (),
 ) -> pd.DataFrame:
     """Single-process ground truth for the full index lifecycle:
     centroids trained on ``train_rems`` only, existing side =
@@ -649,4 +774,5 @@ def semindex_gate_replay(
         train_side=(mod, tuple(train_rems), True),
         ex_side=(mod, tuple(ex_rems), True),
         in_side=(mod, rem, True),
+        ex_exclude=tuple(forget_ids),
     )

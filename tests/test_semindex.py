@@ -395,6 +395,43 @@ def test_search_matches_brute_force_and_compaction_invariance(tmp_root):
     pd.testing.assert_frame_equal(search_semindex(tiny, SF, n_queries=8, k=5), got)
 
 
+def test_forget_fence_immediate_and_resurrection_proof(tmp_root):
+    """The RTBF fence applies at the read boundary BEFORE any vacuum
+    (gate and search exclude forgotten vectors while their bytes are
+    still on disk), the byte-level audit catches the un-vacuumed
+    state, vacuum-fold physically erases them (audit passes, gate
+    unchanged), and a re-ingest of their epoch cannot resurrect them."""
+    from lakecdc.semindex import (
+        assert_forgotten_semindex,
+        forget_semindex,
+        search_semindex,
+    )
+
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    victims = list(range(16))
+    want = semindex_gate_replay(SF, forget_ids=tuple(victims))
+
+    forget_semindex(tmp_root, victims, vacuum=False)  # fence only
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+    got_search = search_semindex(tmp_root, SF, n_queries=8, k=5)
+    assert not got_search["neighbor_id"].isin(victims).any()
+    with pytest.raises(AssertionError, match="still present"):
+        assert_forgotten_semindex(tmp_root, victims)  # bytes remain
+
+    forget_semindex(tmp_root, victims, vacuum=True)  # physical erasure
+    assert_forgotten_semindex(tmp_root, victims)
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+    pd.testing.assert_frame_equal(
+        search_semindex(tmp_root, SF, n_queries=8, k=5), got_search
+    )
+
+    # resurrection attempt: re-ingest the forgotten vectors' epochs —
+    # the fence still excludes them from every read
+    update_semindex(tmp_root, SF, 2)
+    pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+
+
 # ---------------------------------------------------------------------------
 # Randomized crash-point fuzz for the semindex lifecycle — the same
 # seedable kill-site machinery as the apply/backfill fuzz
