@@ -232,6 +232,16 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--ids is required for forget")
         if args.op != "forget" and args.ids is not None:
             p.error("--ids only applies to --op forget")
+        victims: list[int] = []
+        if args.op == "forget":
+            try:
+                victims = [
+                    int(x.strip()) for x in args.ids.split(",") if x.strip()
+                ]
+            except ValueError:
+                p.error(f"--ids must be comma-separated integers: {args.ids!r}")
+            if not victims:
+                p.error("--ids parsed to an empty list")
         if args.op != "build":
             ignored = [
                 f"--{n.replace('_', '-')}"
@@ -294,7 +304,6 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             elif args.op == "forget":
-                victims = [int(x) for x in args.ids.split(",")]
                 n = si.forget_semindex(args.index_root, victims, vacuum=True)
                 si.assert_forgotten_semindex(args.index_root, victims)
                 print(json.dumps({"fence_size": n, "erasure_audit": "ok"}))

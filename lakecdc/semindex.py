@@ -182,25 +182,49 @@ def forget_semindex(
         lambda tmp: open(tmp, "w").write(json.dumps(sorted(cur))),
     )
     if vacuum:
-        compact_semindex(root, over=1, force=True)
+        want = np.asarray(sorted(cur), dtype=np.int64)
+        live_set = {f for fs in live_files(root).values() for f in fs}
+        victims_in: set[int] = set()
+        for f in sorted(
+            glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet"))
+        ):
+            got = pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy()
+            if not len(np.intersect1d(got, want)):
+                continue  # clean file: no rewrite needed
+            if f in live_set:
+                victims_in.add(
+                    int(os.path.basename(os.path.dirname(f)).split("=")[1])
+                )
+            else:
+                # superseded straggler or uncommitted in-flight file
+                # holding victim bytes: both are regenerable (the read
+                # rule ignores them; a crashed update's rerun rewrites
+                # deterministically, now fence-filtered) — delete.
+                try:
+                    os.remove(f)
+                except FileNotFoundError:
+                    pass
+        # fold ONLY the clusters that actually hold victim bytes —
+        # a single-row RTBF request must not rewrite the whole index
+        compact_semindex(root, over=1, force=True, clusters=victims_in)
     return len(cur)
 
 
 def assert_forgotten_semindex(root: str, vec_ids) -> None:
-    """Byte-level erasure audit: scan every live chain file's vec_id
-    column and raise if any forgotten id survives (the lake's
-    assert_forgotten applied to this index). Run after a
+    """Byte-level erasure audit: scan EVERY chain file on disk — live,
+    superseded stragglers AND uncommitted in-flight files — and raise
+    if any forgotten id's bytes survive anywhere under the root (the
+    lake's assert_forgotten applied to this index). Run after a
     vacuum-fold."""
     want = np.asarray(sorted({int(v) for v in vec_ids}), dtype=np.int64)
-    for c, files in live_files(root).items():
-        for f in files:
-            got = pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy()
-            hit = np.intersect1d(got, want)
-            if len(hit):
-                raise AssertionError(
-                    f"forgotten vec_ids {hit.tolist()} still present in "
-                    f"{f} (cluster {c}) — vacuum-fold did not erase them"
-                )
+    for f in sorted(glob.glob(os.path.join(root, "epoch=*", "cl=*", "*.parquet"))):
+        got = pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy()
+        hit = np.intersect1d(got, want)
+        if len(hit):
+            raise AssertionError(
+                f"forgotten vec_ids {hit.tolist()} still present in "
+                f"{f} — vacuum-fold did not erase them"
+            )
 
 
 def _live_row_group_cells(root: str) -> dict[int, list]:
@@ -339,12 +363,18 @@ def update_semindex(root: str, sf_dir: str, rem: int) -> int:
             "Ingest epochs in non-decreasing order once compaction has run."
         )
     cref = ray.put(_load_centroids(root))
+    # the RTBF fence applies at ingest too: a re-run (crash recovery)
+    # or a late epoch carrying a forgotten vec_id must never write its
+    # bytes back to disk
+    forgotten = load_forgotten(root)
 
     def assign(t: pa.Table) -> pa.Table:
         import ray as _ray
 
         ids = t["vec_id"].to_numpy()
         m = _side_mask(ids, (mod, rem, True))
+        if len(forgotten):
+            m &= ~np.isin(ids, forgotten)
         if not m.all():
             t = t.filter(pa.array(m))
         if len(t) == 0:
@@ -407,7 +437,10 @@ def update_semindex(root: str, sf_dir: str, rem: int) -> int:
 
 
 def compact_semindex(
-    root: str, over: int = 1, force: bool = False
+    root: str,
+    over: int = 1,
+    force: bool = False,
+    clusters: set[int] | None = None,
 ) -> dict[int, int]:
     """Fold every cluster chain longer than ``over`` live files into a
     single ``base.parquet`` at the chain's top epoch (row groups stay
@@ -415,18 +448,26 @@ def compact_semindex(
     RTBF-forgotten vectors, then delete the superseded files. Crash
     between the base write and the deletes is benign: the read rule
     already ignores files at epoch <= the fold point, and the next
-    compaction sweep removes stragglers. ``force=True`` folds EVERY
-    live chain regardless of length — the vacuum mode forget uses so
-    forgotten bytes physically leave even a single already-folded
-    base. Returns {cluster: live rows} for folded clusters."""
+    compaction sweep removes stragglers. ``force=True`` folds live
+    chains regardless of length (so forgotten bytes physically leave
+    even a single already-folded base); ``clusters`` restricts the
+    force-fold to the named clusters — forget passes only the victim
+    clusters, so a single-row RTBF request never rewrites the whole
+    index. Returns {cluster: live rows} for folded clusters."""
     import ray
 
     flush_rows = _load_meta(root)["flush_rows"]
     forgotten = load_forgotten(root)
     live = live_files(root)
 
+    def base_path(c: int, files: list[str]) -> str:
+        top = max(_file_epoch(root, f) for f in files)
+        return os.path.join(
+            root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet"
+        )
+
     @ray.remote
-    def fold(c: int, files: list[str]) -> int:
+    def fold(files: list[str], base: str) -> int:
         t = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
             [("vec_id", "ascending")]
         )
@@ -434,8 +475,6 @@ def compact_semindex(
             m = ~np.isin(t["vec_id"].to_numpy(), forgotten)
             if not m.all():
                 t = t.filter(pa.array(m))
-        top = max(_file_epoch(root, f) for f in files)
-        base = os.path.join(root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet")
         atomic_write(
             base, lambda tmp: pq.write_table(t, tmp, row_group_size=flush_rows)
         )
@@ -444,12 +483,16 @@ def compact_semindex(
     targets = {
         c: files
         for c, files in live.items()
-        if len(files) > max(over, 1) or (force and files)
+        if len(files) > max(over, 1)
+        or (force and files and (clusters is None or c in clusters))
     }
+    # ONE source of truth for each target's output path, shared by the
+    # fold task and the deletion commit step below.
+    bases = {c: base_path(c, files) for c, files in targets.items()}
     out = {
         c: ray.get(fu)
         for c, fu in {
-            c: fold.remote(c, files) for c, files in targets.items()
+            c: fold.remote(files, bases[c]) for c, files in targets.items()
         }.items()
     }
     # Deletion is the driver's commit step, AFTER every base landed: a
@@ -458,12 +501,8 @@ def compact_semindex(
     # base rewrites IN PLACE (same top epoch), so its own output path
     # is skipped.
     for c, files in targets.items():
-        top = max(_file_epoch(root, f) for f in files)
-        base = os.path.join(
-            root, f"epoch={top:09d}", f"cl={c:05d}", "base.parquet"
-        )
         for f in files:
-            if f == base:
+            if f == bases[c]:
                 continue
             try:
                 os.remove(f)

@@ -427,9 +427,30 @@ def test_forget_fence_immediate_and_resurrection_proof(tmp_root):
     )
 
     # resurrection attempt: re-ingest the forgotten vectors' epochs —
-    # the fence still excludes them from every read
+    # the fence keeps them out of every read AND out of the rewritten
+    # bytes (the ingest path filters the fence too)
     update_semindex(tmp_root, SF, 2)
     pd.testing.assert_frame_equal(gate_semindex(tmp_root, SF, 3), want)
+    assert_forgotten_semindex(tmp_root, victims)
+
+
+def test_forget_vacuum_rewrites_only_victim_clusters(tmp_root):
+    """A small RTBF request folds ONLY the clusters holding victim
+    bytes — never a whole-index rewrite (O(victims), not O(corpus))."""
+    from lakecdc.semindex import forget_semindex, live_files
+
+    build_semindex(tmp_root, SF, train_rems=(0, 1), flush_rows=64, compact_over=0)
+    update_semindex(tmp_root, SF, 2)
+    compact_semindex(tmp_root, over=1)  # one base per cluster
+    before = {
+        c: os.stat(fs[0]).st_mtime_ns for c, fs in live_files(tmp_root).items()
+    }
+    forget_semindex(tmp_root, [0], vacuum=True)  # one existing vector
+    after = {
+        c: os.stat(fs[0]).st_mtime_ns for c, fs in live_files(tmp_root).items()
+    }
+    rewritten = [c for c in before if after[c] != before[c]]
+    assert len(rewritten) == 1, rewritten  # only vec 0's cluster folded
 
 
 # ---------------------------------------------------------------------------
@@ -516,13 +537,19 @@ def test_semindex_random_crash_resume(tmp_root, seed):
         build,
         reset=lambda: shutil.rmtree(root, ignore_errors=True),
     )
-    # update/compact resume by plain re-run (idempotent; _done is the
-    # commit point).
+    # update/compact/forget resume by plain re-run (idempotent; _done
+    # and the fence file are the commit points).
     run_step(lambda: update_semindex(root, _SEM_SF, 2))
     run_step(lambda: compact_semindex(root, over=1))
+    from lakecdc.semindex import assert_forgotten_semindex, forget_semindex
+
+    victims = list(range(8))
+    run_step(lambda: forget_semindex(root, victims, vacuum=True))
+    forget_semindex(root, victims, vacuum=True)  # clean resume
+    assert_forgotten_semindex(root, victims)
 
     got = gate_semindex(root, _SEM_SF, 3)
-    want = semindex_gate_replay(_SEM_SF)
+    want = semindex_gate_replay(_SEM_SF, forget_ids=tuple(victims))
     pd.testing.assert_frame_equal(got, want)
     # idempotence after a crash history: one more resume changes nothing
     update_semindex(root, _SEM_SF, 2)
